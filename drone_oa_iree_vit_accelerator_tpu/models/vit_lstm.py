@@ -1,0 +1,228 @@
+"""ITAViTLSTM — the model family, config-driven, as pure functions.
+
+One implementation covers all four reference variants (core/config.py).
+The forward pass mirrors reference
+models/ITA_single_layer_upsample_shuffle/model.py:86-140 (flagship) and
+models/ITA*/model.py (flatten-fusion variants):
+
+    depth frame (B,1,60,90) ──tokenizer──> tokens (B,S,E)
+      ──[attention + residual + LN, FFN + residual + LN] x L──>
+      ──fusion (pixel-shuffle ⊕ bilinear-upsample -> conv, or flatten)──>
+      ──spectral-norm decoder -> 512 ── cat(vel/10, quat) -> 517 ──>
+      ──3-layer LSTM(128) ──> fc 128->3 = velocity command
+
+The attention/FFN sub-blocks are *pluggable*: the float path, the QAT
+fake-quant path, the jnp integer golden path, and the Pallas TPU kernel
+all implement the same (layer_idx, x) -> y interface. This function
+boundary is the TPU-native equivalent of the reference's IREE
+transform-dialect custom-dispatch swap (ITA_spec.mlir): no pattern
+matching on a compiled graph — just pass a different block function and
+jit.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import FusionKind, ModelConfig
+from ..utils.image import bilinear_resize, pixel_shuffle
+from . import layers as L
+
+
+class LSTMState(NamedTuple):
+    h: jax.Array  # (num_layers, B, hidden)
+    c: jax.Array  # (num_layers, B, hidden)
+
+
+def zero_state(cfg: ModelConfig, batch: int) -> LSTMState:
+    shape = (cfg.lstm_layers, batch, cfg.lstm_hidden)
+    return LSTMState(jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# Initialization (matches torch defaults so scratch training behaves alike)
+# ---------------------------------------------------------------------------
+
+
+def _init_linear(key, fan_in: int, fan_out: int) -> dict:
+    """torch nn.Linear default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / jnp.sqrt(fan_in)
+    return {
+        "w": jax.random.uniform(kw, (fan_in, fan_out), jnp.float32, -bound, bound),
+        "b": jax.random.uniform(kb, (fan_out,), jnp.float32, -bound, bound),
+    }
+
+
+def _init_conv(key, cin: int, cout: int, k: int) -> dict:
+    kw, kb = jax.random.split(key)
+    fan_in = cin * k * k
+    bound = 1.0 / jnp.sqrt(fan_in)
+    return {
+        "w": jax.random.uniform(kw, (cout, cin, k, k), jnp.float32, -bound, bound),
+        "b": jax.random.uniform(kb, (cout,), jnp.float32, -bound, bound),
+    }
+
+
+def _init_ln(dim: int) -> dict:
+    return {"g": jnp.ones((dim,), jnp.float32), "b": jnp.zeros((dim,), jnp.float32)}
+
+
+def init_params(cfg: ModelConfig, key: jax.Array) -> dict:
+    keys = iter(jax.random.split(key, 64))
+    params: dict = {
+        "tokenizer": {
+            "conv": _init_conv(next(keys), 1, cfg.E, cfg.patch_size),
+            "ln": _init_ln(cfg.E),
+        },
+        "blocks": tuple(
+            {
+                "attn": {
+                    "q": _init_linear(next(keys), cfg.E, cfg.P),
+                    "k": _init_linear(next(keys), cfg.E, cfg.P),
+                    "v": _init_linear(next(keys), cfg.E, cfg.P),
+                    "o": _init_linear(next(keys), cfg.P, cfg.E),
+                },
+                "ln1": _init_ln(cfg.E),
+                "ffn": {
+                    "fc1": _init_linear(next(keys), cfg.E, cfg.F),
+                    "fc2": _init_linear(next(keys), cfg.F, cfg.E),
+                },
+                "ln2": _init_ln(cfg.E),
+            }
+            for _ in range(cfg.num_layers)
+        ),
+        "decoder": {
+            **_init_linear(next(keys), cfg.decoder_in, cfg.decoder_out),
+            "u": jax.random.normal(next(keys), (cfg.decoder_out,)),
+            "v": jax.random.normal(next(keys), (cfg.decoder_in,)),
+        },
+        "lstm": tuple(
+            {
+                "w_ih": _init_linear(
+                    next(keys),
+                    cfg.lstm_in if li == 0 else cfg.lstm_hidden,
+                    4 * cfg.lstm_hidden,
+                )["w"],
+                "w_hh": _init_linear(next(keys), cfg.lstm_hidden, 4 * cfg.lstm_hidden)["w"],
+                "b_ih": jnp.zeros((4 * cfg.lstm_hidden,), jnp.float32),
+                "b_hh": jnp.zeros((4 * cfg.lstm_hidden,), jnp.float32),
+            }
+            for li in range(cfg.lstm_layers)
+        ),
+        "fc2": {
+            **_init_linear(next(keys), cfg.lstm_hidden, cfg.out_dim),
+            "u": jax.random.normal(next(keys), (cfg.out_dim,)),
+            "v": jax.random.normal(next(keys), (cfg.lstm_hidden,)),
+        },
+    }
+    if cfg.fusion is FusionKind.PXSHUFFLE_UPSAMPLE:
+        cin = cfg.E // 4 + cfg.E  # pixel-shuffle branch + upsample branch
+        params["fusion"] = {"conv": _init_conv(next(keys), cin, cfg.fusion_out_channels, 3)}
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+BlockFn = Callable[[int, jax.Array], jax.Array]  # (layer_idx, (B,S,E)) -> (B,S,E)
+
+
+def refine_inputs(
+    cfg: ModelConfig,
+    frame: jax.Array,
+    quat: jax.Array | None,
+) -> tuple[jax.Array, jax.Array]:
+    """Shape/format fixup mirroring reference model.py:18-33: synthesize a
+    unit quaternion when missing, bilinear-resize the frame to 60x90."""
+    if quat is None:
+        quat = jnp.zeros((frame.shape[0], 4), jnp.float32).at[:, 0].set(1.0)
+    if frame.shape[-2:] != cfg.img_hw:
+        frame = bilinear_resize(frame, cfg.img_hw, align_corners=False)
+    return frame, quat
+
+
+def encoder_tokens(
+    cfg: ModelConfig,
+    params: dict,
+    frame: jax.Array,
+    attn_fn: BlockFn,
+    ffn_fn: BlockFn,
+) -> jax.Array:
+    """frame (B,1,60,90) -> encoded tokens (B,S,E); post-norm residuals."""
+    x = L.tokenizer_forward(frame, params["tokenizer"], cfg)
+    for i in range(cfg.num_layers):
+        blk = params["blocks"][i]
+        x = L.layer_norm(x + attn_fn(i, x), blk["ln1"])
+        x = L.layer_norm(x + ffn_fn(i, x), blk["ln2"])
+    return x
+
+
+def fuse_tokens(cfg: ModelConfig, params: dict, x: jax.Array) -> jax.Array:
+    """Token fusion -> flat decoder input (B, decoder_in)."""
+    b = x.shape[0]
+    if cfg.fusion is FusionKind.FLATTEN:
+        return x.reshape(b, cfg.S * cfg.E)
+    th, tw = cfg.token_hw
+    x2d = x.transpose(0, 2, 1).reshape(b, cfg.E, th, tw)  # (B,E,8,16)
+    shuffled = pixel_shuffle(x2d, 2)  # (B,E/4,16,32)
+    upsampled = bilinear_resize(x2d, cfg.fusion_hw, align_corners=True)
+    fused = jnp.concatenate([shuffled, upsampled], axis=1)  # (B,E/4+E,16,32)
+    down = L.conv2d(fused, params["fusion"]["conv"], stride=1, padding=1)
+    return down.reshape(b, -1)  # (B, 9*16*32=4608)
+
+
+def forward(
+    cfg: ModelConfig,
+    params: dict,
+    frame: jax.Array,
+    vel: jax.Array,
+    quat: jax.Array | None,
+    state: LSTMState | None = None,
+    *,
+    attn_fn: BlockFn | None = None,
+    ffn_fn: BlockFn | None = None,
+    training: bool = False,
+    rng: jax.Array | None = None,
+) -> tuple[jax.Array, LSTMState]:
+    """Full model step: (frame, vel, quat, state) -> (cmd (B,3), state').
+
+    ``attn_fn``/``ffn_fn`` default to the float path; pass alternatives to
+    swap the quantized region implementation (see module docstring).
+    """
+    if attn_fn is None:
+        attn_fn = lambda i, x: L.attention_f32(x, params["blocks"][i]["attn"], cfg.H)
+    if ffn_fn is None:
+        ffn_fn = lambda i, x: L.ffn_f32(x, params["blocks"][i]["ffn"])
+
+    frame, quat = refine_inputs(cfg, frame, quat)
+    if state is None:
+        state = zero_state(cfg, frame.shape[0])
+
+    x = encoder_tokens(cfg, params, frame, attn_fn, ffn_fn)
+    flat = fuse_tokens(cfg, params, x)
+
+    dec = params["decoder"]
+    if cfg.spectral_norm_decoder:
+        w_sn, _, _ = L.spectral_norm_weight(dec["w"], dec["u"], dec["v"], update=False)
+        out = flat @ w_sn + dec["b"]
+    else:
+        out = L.linear(flat, dec)
+
+    feat = jnp.concatenate([out, vel / 10.0, quat], axis=1)  # (B, 517)
+    lstm_rng = rng if (training and rng is not None) else None
+    y, (h, c) = L.lstm_forward(
+        feat, state, params["lstm"], cfg.lstm_dropout, lstm_rng
+    )
+
+    head = params["fc2"]
+    if cfg.spectral_norm_decoder:
+        w_sn, _, _ = L.spectral_norm_weight(head["w"], head["u"], head["v"], update=False)
+        cmd = y @ w_sn + head["b"]
+    else:
+        cmd = L.linear(y, head)
+    return cmd, LSTMState(h, c)
