@@ -157,6 +157,30 @@ def calculate_hw_params(effective_scale: float, bits: int = 8) -> tuple[int, int
     return multiplier, shift
 
 
+def hw_params_jnp(
+    effective_scale: jax.Array, bits: int = 8
+) -> tuple[jax.Array, jax.Array]:
+    """Device-side (traceable) version of ``calculate_hw_params``.
+
+    Identical frexp encoding, computed with jnp so QAT->int8 conversion
+    can run as one jitted program with no host round-trip (host syncs are
+    both un-idiomatic and, on some platforms, catastrophically slow).
+    """
+    eff = jnp.asarray(effective_scale, jnp.float32)
+    mant, exp = jnp.frexp(eff)
+    mult = jnp.round(mant * (2**bits)).astype(jnp.int32)
+    shift = (bits - exp).astype(jnp.int32)
+    zero = eff == 0
+    return jnp.where(zero, 0, mult), jnp.where(zero, 0, shift)
+
+
+def fold_bias_jnp(
+    bias: jax.Array, s_in: jax.Array, s_w: jax.Array
+) -> jax.Array:
+    """Device-side int32 bias folding: round(b / (s_in * s_w))."""
+    return jnp.round(bias / (s_in * s_w)).astype(jnp.int32)
+
+
 def fold_bias_i32(
     bias: np.ndarray | jax.Array | None,
     s_in: float,

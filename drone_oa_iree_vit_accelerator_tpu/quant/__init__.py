@@ -1,0 +1,61 @@
+import jax
+
+from ..ops.integer_ita import ita_attention_f32, ita_ffn_f32
+from .convert import convert_attention, convert_ffn, convert_model
+from .qat import (
+    AttnObservers,
+    FFNObservers,
+    QATObservers,
+    attention_qat,
+    ffn_qat,
+    qat_block_fns,
+    weight_scale,
+)
+
+
+def int8_block_fns(int_params: dict):
+    """Build (attn_fn, ffn_fn) running the converted integer pipeline
+    (quantize -> int8 golden path -> dequantize) inside the model forward;
+    vmapped over the batch axis.
+
+    IMPORTANT: call this *inside* your jitted function with int_params
+    passed as a jit argument. Closing a jit over concrete device arrays
+    embeds them as program constants, which some platforms (axon) re-
+    upload on every call (~1000x slowdown observed).
+    """
+
+    def attn_fn(i, x):
+        return jax.vmap(lambda s: ita_attention_f32(s, int_params["attn"][i]))(x)
+
+    def ffn_fn(i, x):
+        return jax.vmap(lambda s: ita_ffn_f32(s, int_params["ffn"][i]))(x)
+
+    return attn_fn, ffn_fn
+
+
+def int8_forward(cfg, params, int_params, frame, vel, quat, state=None, **kw):
+    """Full-model forward with the integer attention/FFN path.
+
+    jit this function directly (params AND int_params as arguments)."""
+    from ..models import vit_lstm as M
+
+    attn_fn, ffn_fn = int8_block_fns(int_params)
+    return M.forward(
+        cfg, params, frame, vel, quat, state, attn_fn=attn_fn, ffn_fn=ffn_fn, **kw
+    )
+
+
+__all__ = [
+    "int8_forward",
+    "AttnObservers",
+    "FFNObservers",
+    "QATObservers",
+    "attention_qat",
+    "ffn_qat",
+    "qat_block_fns",
+    "weight_scale",
+    "convert_attention",
+    "convert_ffn",
+    "convert_model",
+    "int8_block_fns",
+]
