@@ -1,22 +1,23 @@
-"""Benchmark: camera->command serving throughput on one chip.
+"""Benchmark: camera->command serving on one chip (flagship int8 model).
 
-Measures the flagship ITAViTLSTM serving step (fused preprocess + model,
-one jit each) on the default JAX backend (the real TPU under the driver):
+Paths measured, each as ONE jitted program (fused preprocess + model):
 
-- int8 path: the deployed configuration — ITA integer attention/FFN
-  (int8 MXU matmuls, requant shifts, integer softmax) inside the model,
-  converted on-device from QAT observers;
-- fp32 path: the float model, for reference.
+- pallas : deployed configuration — the fused Pallas ITA encoder kernel
+           (int8 MXU matmuls, requant shifts, integer softmax, residual+LN
+           all in VMEM) inside the full model;
+- int8   : same integer arithmetic through plain XLA ops (golden path);
+- f32    : float model.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Headline metric = batch-1 pallas frames/s (latency-oriented, like the
+reference's serve loop); batched throughput is also reported
+(frames/s/chip at the best measured batch).
 
-Baseline note: the reference publishes NO end-to-end fps/latency
-(BASELINE.md) — the north star for this rebuild is >=10k frames/sec/chip
-(BASELINE.json), so vs_baseline = value / 10_000.
+Prints ONE JSON line. Baseline: the reference publishes no end-to-end
+fps/latency (BASELINE.md); the north star is >=10k frames/s/chip
+(BASELINE.json), so vs_baseline = headline / 10_000.
 
-NOTE: no device-to-host transfer may happen before the timing loops (a
-single D2H degrades dispatch latency ~1000x on the axon platform); QAT
-calibration and int8 conversion therefore run as jitted device programs.
+NOTE: no device-to-host transfer before the timing loops (a single D2H
+degrades dispatch ~1000x on axon); calibration + conversion run jitted.
 """
 
 from __future__ import annotations
@@ -30,13 +31,13 @@ import jax.numpy as jnp
 NORTH_STAR_FPS = 10_000.0
 
 
-def _time_step(step, args, state, iters=300):
-    cmd, st = step(*args, state)
+def _bench(step, frame, vel, quat, state, iters=300):
+    cmd, st = step(frame, vel, quat, state)
     jax.block_until_ready(cmd)
     lat = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        cmd, st = step(*args, st)
+        cmd, st = step(frame, vel, quat, st)
         jax.block_until_ready(cmd)
         lat.append(time.perf_counter() - t0)
     lat.sort()
@@ -53,7 +54,6 @@ def main() -> None:
     key = jax.random.PRNGKey(0)
     params = M.init_params(CFG, key)
 
-    # On-device QAT calibration + int8 conversion (no host sync).
     @jax.jit
     def calibrate(params, obs, x):
         attn_fn, ffn_fn, collect = QZ.qat_block_fns(params, obs, CFG.H)
@@ -69,44 +69,60 @@ def main() -> None:
     )
     int_params = jax.jit(QZ.convert_model, static_argnums=2)(params, obs, CFG.H)
 
-    @jax.jit
-    def step_int8(params, int_params, frame_u8, vel, quat, state):
-        frame = frame_u8.astype(jnp.float32) / 255.0
-        return QZ.int8_forward(CFG, params, int_params, frame, vel, quat, state)
+    def make_step(kind):
+        if kind == "pallas":
+            fwd = lambda p, ip, f, v, q, s: QZ.pallas_forward(CFG, p, ip, f, v, q, s)
+        elif kind == "int8":
+            fwd = lambda p, ip, f, v, q, s: QZ.int8_forward(CFG, p, ip, f, v, q, s)
+        else:
+            fwd = lambda p, ip, f, v, q, s: M.forward(CFG, p, f, v, q, s)
 
-    @jax.jit
-    def step_f32(params, frame_u8, vel, quat, state):
-        frame = frame_u8.astype(jnp.float32) / 255.0
-        return M.forward(CFG, params, frame, vel, quat, state)
+        @jax.jit
+        def step(p, ip, frame_u8, vel, quat, state):
+            frame = frame_u8.astype(jnp.float32) / 255.0
+            return fwd(p, ip, frame, vel, quat, state)
 
-    batch = 1  # latency-oriented, like the reference serve loop
-    frame = jnp.zeros((batch, 1, 60, 90), jnp.uint8)
-    vel = jnp.ones((batch, 1), jnp.float32)
-    quat = jnp.tile(jnp.asarray([[1.0, 0, 0, 0]], jnp.float32), (batch, 1))
-    state = M.zero_state(CFG, batch)
+        return lambda f, v, q, s: step(params, int_params, f, v, q, s)
 
-    p50_i, p99_i = _time_step(
-        lambda f, v, q, s: step_int8(params, int_params, f, v, q, s),
-        (frame, vel, quat),
-        state,
-    )
-    p50_f, p99_f = _time_step(
-        lambda f, v, q, s: step_f32(params, f, v, q, s), (frame, vel, quat), state
-    )
+    def inputs(batch):
+        return (
+            jnp.zeros((batch, 1, 60, 90), jnp.uint8),
+            jnp.ones((batch, 1), jnp.float32),
+            jnp.tile(jnp.asarray([[1.0, 0, 0, 0]], jnp.float32), (batch, 1)),
+            M.zero_state(CFG, batch),
+        )
 
-    fps = batch / p50_i
-    result = {
-        "metric": "frames/sec/chip (flagship int8 serving step, batch=1)",
+    results = {}
+    for kind in ("pallas", "int8", "f32"):
+        p50, p99 = _bench(make_step(kind), *inputs(1))
+        results[kind] = (p50, p99)
+
+    # Batched throughput on the pallas path.
+    best_tp = 0.0
+    best_batch = 1
+    for batch in (64, 256, 1024):
+        f, v, q, s = inputs(batch)
+        p50, _ = _bench(make_step("pallas"), f, v, q, s, iters=50)
+        tp = batch / p50
+        if tp > best_tp:
+            best_tp, best_batch = tp, batch
+
+    p50_i, p99_i = results["pallas"]
+    fps = 1 / p50_i
+    out = {
+        "metric": "frames/sec/chip (flagship int8+pallas serving, batch=1)",
         "value": round(fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(fps / NORTH_STAR_FPS, 4),
-        "int8_p50_ms": round(p50_i * 1e3, 4),
-        "int8_p99_ms": round(p99_i * 1e3, 4),
-        "f32_p50_ms": round(p50_f * 1e3, 4),
-        "f32_p99_ms": round(p99_f * 1e3, 4),
+        "pallas_p50_ms": round(results["pallas"][0] * 1e3, 4),
+        "pallas_p99_ms": round(results["pallas"][1] * 1e3, 4),
+        "int8_xla_p50_ms": round(results["int8"][0] * 1e3, 4),
+        "f32_p50_ms": round(results["f32"][0] * 1e3, 4),
+        "batched_throughput_fps": round(best_tp, 1),
+        "batched_throughput_batch": best_batch,
         "backend": jax.default_backend(),
     }
-    print(json.dumps(result))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

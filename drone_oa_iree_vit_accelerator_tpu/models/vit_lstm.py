@@ -186,6 +186,7 @@ def forward(
     *,
     attn_fn: BlockFn | None = None,
     ffn_fn: BlockFn | None = None,
+    encoder_fn: Callable[[dict, jax.Array], jax.Array] | None = None,
     training: bool = False,
     rng: jax.Array | None = None,
 ) -> tuple[jax.Array, LSTMState]:
@@ -193,6 +194,9 @@ def forward(
 
     ``attn_fn``/``ffn_fn`` default to the float path; pass alternatives to
     swap the quantized region implementation (see module docstring).
+    ``encoder_fn(params, tokens) -> tokens`` replaces the whole
+    attention/FFN/LN block loop instead (used by the fused Pallas path,
+    which keeps residual+LN inside the kernel).
     """
     if attn_fn is None:
         attn_fn = lambda i, x: L.attention_f32(x, params["blocks"][i]["attn"], cfg.H)
@@ -203,7 +207,10 @@ def forward(
     if state is None:
         state = zero_state(cfg, frame.shape[0])
 
-    x = encoder_tokens(cfg, params, frame, attn_fn, ffn_fn)
+    if encoder_fn is not None:
+        x = encoder_fn(params, L.tokenizer_forward(frame, params["tokenizer"], cfg))
+    else:
+        x = encoder_tokens(cfg, params, frame, attn_fn, ffn_fn)
     flat = fuse_tokens(cfg, params, x)
 
     dec = params["decoder"]

@@ -1,0 +1,282 @@
+"""Fused Pallas TPU kernel: one ITA encoder layer, bit-exact int8.
+
+This kernel is the TPU-native replacement for the reference's FPGA
+accelerator offload (SURVEY.md section 2.2: ITA_dispatch.c + ITA_spec.mlir +
+the ITA RTL): the entire quantized encoder layer —
+
+    quantize(s_attn_in)
+      -> int8 Q/K/V projections (MXU, i32 accum) -> requant
+      -> QK^T (no 1/sqrt(d)) -> requant -> integer softmax (uint8)
+      -> AV -> requant -> out-projection -> requant
+    -> dequant, residual add, LayerNorm (f32, VPU)
+    quantize(s_ffn_in)
+      -> int8 fc1 -> requant -> ReLU -> requant bridge
+      -> int8 fc2 -> requant
+    -> dequant, residual add, LayerNorm
+
+— runs as ONE pallas_call with every intermediate resident in VMEM
+(S=128, E=64, P=192, F=256 total well under 1 MB), eliminating the
+HBM round-trips between the ~15 XLA ops it replaces.
+
+Bit-exactness contract: identical output to the pure-jnp golden model
+(ops/integer_ita.py + models/layers.layer_norm composition) — enforced by
+tests/test_pallas_kernel.py in interpret mode and by the on-TPU
+verification drive. The integer softmax reciprocal uses restoring long
+division (Mosaic's i32 floor-division path is avoided) so the uint8
+probabilities match ops/ita_softmax.ita_integer_softmax exactly.
+
+Scalar requant parameters arrive via SMEM as a packed (1, 20) i32 array
+and the four float scales as (1, 4) f32 (see pack_block_scalars).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..integer_ita import IntAttentionParams, IntFFNParams
+
+# Packed i32 scalar layout (indices into the (1, 20) SMEM array).
+_IQ_MULT, _IQ_SHIFT = 0, 1
+_IK_MULT, _IK_SHIFT = 2, 3
+_IV_MULT, _IV_SHIFT = 4, 5
+_IQK_MULT, _IQK_SHIFT = 6, 7
+_IAV_MULT, _IAV_SHIFT = 8, 9
+_IO_MULT, _IO_SHIFT = 10, 11
+_IFC1_MULT, _IFC1_SHIFT = 12, 13
+_IRELU_MULT, _IRELU_SHIFT = 14, 15
+_IFC2_MULT, _IFC2_SHIFT = 16, 17
+N_ISCALARS = 20  # two spare slots keep the layout lane-friendly
+
+# Packed f32 scalar layout.
+_FS_ATTN_IN, _FS_ATTN_OUT, _FS_FFN_IN, _FS_FFN_OUT = 0, 1, 2, 3
+N_FSCALARS = 4
+
+_SOFTMAX_NUM = (2**8 - 1) * (2**16)  # 16711680, fits 25 bits
+
+
+def pack_block_scalars(
+    attn: IntAttentionParams, ffn: IntFFNParams
+) -> tuple[jax.Array, jax.Array]:
+    """Pack one encoder layer's requant params for SMEM prefetch."""
+    ints = jnp.stack(
+        [
+            attn.q.mult, attn.q.shift,
+            attn.k.mult, attn.k.shift,
+            attn.v.mult, attn.v.shift,
+            attn.qk_mult, attn.qk_shift,
+            attn.av_mult, attn.av_shift,
+            attn.o.mult, attn.o.shift,
+            ffn.fc1.mult, ffn.fc1.shift,
+            ffn.relu_mult, ffn.relu_shift,
+            ffn.fc2.mult, ffn.fc2.shift,
+            jnp.int32(0), jnp.int32(0),
+        ]
+    ).astype(jnp.int32)[None, :]
+    floats = jnp.stack(
+        [attn.s_in, attn.s_out, ffn.s_in, ffn.s_out]
+    ).astype(jnp.float32)[None, :]
+    return ints, floats
+
+
+def _requant(acc, mult, shift):
+    """clamp(floor((acc*mult + 2**(shift-1)) / 2**shift), -128, 127) — the
+    half-up variant matching ops.quant.requant (zero zp, symmetric)."""
+    half = jnp.where(shift > 0, 1 << jnp.maximum(shift - 1, 0), 0)
+    out = (acc * mult + half) >> jnp.clip(shift, 0, 31)
+    return jnp.clip(out, -128, 127)
+
+
+def _quantize(x, scale):
+    return jnp.clip(jnp.round(x / scale), -128, 127).astype(jnp.int8)
+
+
+def _floor_div_u25(num: int, den: jax.Array) -> jax.Array:
+    """Exact floor(num / den) for a constant 25-bit numerator via
+    restoring long division (vectorized on the VPU; den >= 1, int32).
+
+    Mosaic lowers i32 divides poorly/unreliably; 25 static shift-subtract
+    steps are cheap and bit-exact.
+    """
+    q = jnp.zeros_like(den)
+    rem = jnp.zeros_like(den)
+    for bit in range(24, -1, -1):
+        rem = (rem << 1) | ((num >> bit) & 1)  # numerator bit is a py-int
+        take = rem >= den
+        rem = jnp.where(take, rem - den, rem)
+        q = (q << 1) | take.astype(jnp.int32)
+    return q
+
+
+def _integer_softmax(a_i32: jax.Array) -> jax.Array:
+    """ITA integer softmax on (S, S) int32 logits -> int32 in [0, 255].
+
+    Mirrors ops/ita_softmax.ita_integer_softmax bit-for-bit (eps_max = 1.0
+    so the exp shift equals the max-diff directly; see that module's
+    docstring for the algorithm derivation)."""
+    row_max = jnp.max(a_i32, axis=-1, keepdims=True)
+    diff = row_max - a_i32
+    shift = jnp.floor(diff.astype(jnp.float32) + 0.5).astype(jnp.int32)
+    exp = jnp.where(shift > 8, 0, 256 >> jnp.minimum(shift, 8))
+    denom = jnp.maximum(jnp.sum(exp, axis=-1, keepdims=True), 1)
+    inv = _floor_div_u25(_SOFTMAX_NUM, denom)
+    return (exp * inv) >> 16  # uint8 range, kept i32 for the AV matmul
+
+
+def _int_dot(a, b):
+    """int8 x int8 (or u8-range i32 x int8) matmul with i32 accumulation
+    on the MXU."""
+    return jax.lax.dot_general(
+        a, b, (((a.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+
+
+def _layer_norm(x, g, b, eps=1e-5):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * g + b
+
+
+def _encoder_block_kernel(
+    iscal_ref,  # SMEM (1, 20) i32
+    fscal_ref,  # SMEM (1, 4) f32
+    x_ref,      # VMEM (1, S, E) f32
+    wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,  # i8 (E,P) / i32 (1,P)
+    wo_ref, bo_ref,                                   # i8 (P,E) / i32 (1,E)
+    w1_ref, b1_ref, w2_ref, b2_ref,                   # i8 (E,F),(F,E) / i32
+    ln1_g_ref, ln1_b_ref, ln2_g_ref, ln2_b_ref,       # f32 (1,E)
+    out_ref,    # VMEM (1, S, E) f32
+):
+    x = x_ref[0]  # (S, E) f32
+
+    # ---- quantized attention region ----
+    s_attn_in = fscal_ref[0, _FS_ATTN_IN]
+    x_i8 = _quantize(x, s_attn_in)
+
+    qp = _requant(
+        _int_dot(x_i8, wq_ref[:]) + bq_ref[0],
+        iscal_ref[0, _IQ_MULT], iscal_ref[0, _IQ_SHIFT],
+    )
+    kp = _requant(
+        _int_dot(x_i8, wk_ref[:]) + bk_ref[0],
+        iscal_ref[0, _IK_MULT], iscal_ref[0, _IK_SHIFT],
+    )
+    vp = _requant(
+        _int_dot(x_i8, wv_ref[:]) + bv_ref[0],
+        iscal_ref[0, _IV_MULT], iscal_ref[0, _IV_SHIFT],
+    )
+
+    # Logits: (S,P) x (S,P)^T -> (S,S). Operands stay int8-range; i32 accum.
+    logits = jax.lax.dot_general(
+        qp.astype(jnp.int8),
+        kp.astype(jnp.int8),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    a_i8 = _requant(logits, iscal_ref[0, _IQK_MULT], iscal_ref[0, _IQK_SHIFT])
+
+    a_u8 = _integer_softmax(a_i8)  # (S,S) i32 in [0,255]
+
+    # AV matmul: the uint8 probabilities don't fit int8 and Mosaic has no
+    # mixed u8/i32 x i8 MXU path. Exact offset decomposition instead:
+    # a @ v == (a - 128) @ v + 128 * colsum(v), with (a-128) in i8 range.
+    vp_i8 = vp.astype(jnp.int8)
+    av_acc = _int_dot((a_u8 - 128).astype(jnp.int8), vp_i8) + 128 * jnp.sum(
+        vp, axis=0, keepdims=True
+    )
+    ctx = _requant(
+        av_acc, iscal_ref[0, _IAV_MULT], iscal_ref[0, _IAV_SHIFT]
+    )
+    attn_out_i8 = _requant(
+        _int_dot(ctx.astype(jnp.int8), wo_ref[:]) + bo_ref[0],
+        iscal_ref[0, _IO_MULT], iscal_ref[0, _IO_SHIFT],
+    )
+
+    # ---- float glue: dequant, residual, LN (VPU) ----
+    attn_f = attn_out_i8.astype(jnp.float32) * fscal_ref[0, _FS_ATTN_OUT]
+    h = _layer_norm(x + attn_f, ln1_g_ref[0], ln1_b_ref[0])
+
+    # ---- quantized FFN region ----
+    h_i8 = _quantize(h, fscal_ref[0, _FS_FFN_IN])
+    ff1 = _requant(
+        _int_dot(h_i8, w1_ref[:]) + b1_ref[0],
+        iscal_ref[0, _IFC1_MULT], iscal_ref[0, _IFC1_SHIFT],
+    )
+    relu = _requant(
+        jnp.maximum(ff1, 0),
+        iscal_ref[0, _IRELU_MULT], iscal_ref[0, _IRELU_SHIFT],
+    )
+    ff2 = _requant(
+        _int_dot(relu.astype(jnp.int8), w2_ref[:]) + b2_ref[0],
+        iscal_ref[0, _IFC2_MULT], iscal_ref[0, _IFC2_SHIFT],
+    )
+
+    ffn_f = ff2.astype(jnp.float32) * fscal_ref[0, _FS_FFN_OUT]
+    out_ref[0] = _layer_norm(h + ffn_f, ln2_g_ref[0], ln2_b_ref[0])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def ita_encoder_block(
+    x: jax.Array,  # (B, S, E) f32
+    attn: IntAttentionParams,
+    ffn: IntFFNParams,
+    ln1: dict,
+    ln2: dict,
+    interpret: bool = False,
+) -> jax.Array:
+    """One fused quantized encoder layer on TPU (B small; grid over B).
+
+    Numerically identical to:
+        h = LN(x + ita_attention_f32(x, attn)); LN(h + ita_ffn_f32(h, ffn))
+    (ops/integer_ita.py golden path; H=1 — multi-head layouts fall back to
+    the golden model upstream).
+    """
+    b, s, e = x.shape
+    p = attn.q.w.shape[1]
+    f = ffn.fc1.w.shape[1]
+    iscal, fscal = pack_block_scalars(attn, ffn)
+
+    def smem(shape):
+        return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+    def vmem_const(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    row = lambda n: vmem_const((1, n))
+
+    return pl.pallas_call(
+        _encoder_block_kernel,
+        grid=(b,),
+        in_specs=[
+            smem((1, N_ISCALARS)),
+            smem((1, N_FSCALARS)),
+            pl.BlockSpec((1, s, e), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            vmem_const((e, p)), row(p),
+            vmem_const((e, p)), row(p),
+            vmem_const((e, p)), row(p),
+            vmem_const((p, e)), row(e),
+            vmem_const((e, f)), row(f),
+            vmem_const((f, e)), row(e),
+            row(e), row(e), row(e), row(e),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, s, e), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, s, e), jnp.float32),
+        interpret=interpret,
+    )(
+        iscal, fscal, x,
+        attn.q.w, attn.q.b[None, :],
+        attn.k.w, attn.k.b[None, :],
+        attn.v.w, attn.v.b[None, :],
+        attn.o.w, attn.o.b[None, :],
+        ffn.fc1.w, ffn.fc1.b[None, :],
+        ffn.fc2.w, ffn.fc2.b[None, :],
+        ln1["g"][None, :], ln1["b"][None, :],
+        ln2["g"][None, :], ln2["b"][None, :],
+    )

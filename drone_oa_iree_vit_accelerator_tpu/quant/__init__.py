@@ -45,8 +45,39 @@ def int8_forward(cfg, params, int_params, frame, vel, quat, state=None, **kw):
     )
 
 
+def pallas_forward(
+    cfg, params, int_params, frame, vel, quat, state=None, interpret=False, **kw
+):
+    """Full-model forward with the fused Pallas encoder kernel (the
+    TPU-accelerator path; one pallas_call per encoder layer keeps the
+    whole quantized region in VMEM). jit with params/int_params as args.
+    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU
+    testing — the analog of the reference's x86 dummy-dispatch build)."""
+    from ..models import vit_lstm as M
+    from ..ops.pallas.ita_kernel import ita_encoder_block
+
+    def encoder_fn(p, tokens):
+        x = tokens
+        for i in range(cfg.num_layers):
+            blk = p["blocks"][i]
+            x = ita_encoder_block(
+                x,
+                int_params["attn"][i],
+                int_params["ffn"][i],
+                blk["ln1"],
+                blk["ln2"],
+                interpret=interpret,
+            )
+        return x
+
+    return M.forward(
+        cfg, params, frame, vel, quat, state, encoder_fn=encoder_fn, **kw
+    )
+
+
 __all__ = [
     "int8_forward",
+    "pallas_forward",
     "AttnObservers",
     "FFNObservers",
     "QATObservers",

@@ -1,0 +1,121 @@
+"""Pallas fused encoder kernel vs the jnp integer golden model.
+
+Bit-exactness contract (SURVEY.md sections 3.5/7): the Pallas kernel IS the
+"accelerator"; the jnp golden path is its PyITA. They must agree exactly
+(not MAE <= 1 — exactly: both implement the same integer spec).
+Interpret mode stands in for the reference's x86 dummy-dispatch testing
+(SURVEY.md section 4.4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from drone_oa_iree_vit_accelerator_tpu.core import ITA_SINGLE_LAYER_UPSAMPLE_SHUFFLE as CFG
+from drone_oa_iree_vit_accelerator_tpu.models import layers as L
+from drone_oa_iree_vit_accelerator_tpu.models import vit_lstm as M
+from drone_oa_iree_vit_accelerator_tpu.ops import integer_ita as II
+from drone_oa_iree_vit_accelerator_tpu.ops.pallas.ita_kernel import (
+    ita_encoder_block,
+)
+from drone_oa_iree_vit_accelerator_tpu import quant as QZ
+
+
+@pytest.fixture(scope="module")
+def setup():
+    key = jax.random.PRNGKey(7)
+    params = M.init_params(CFG, key)
+    observers = QZ.QATObservers.init(CFG.num_layers)
+    for i in range(4):
+        x = 0.5 * jax.random.normal(jax.random.fold_in(key, i), (2, CFG.S, CFG.E))
+        _, oa = QZ.attention_qat(
+            x, params["blocks"][0]["attn"], observers.attn[0], CFG.H
+        )
+        _, of = QZ.ffn_qat(x, params["blocks"][0]["ffn"], observers.ffn[0])
+        observers = QZ.QATObservers(attn=(oa,), ffn=(of,))
+    ip = QZ.convert_model(params, observers, CFG.H)
+    return params, ip
+
+
+def golden_block(x, params, ip):
+    """Reference composition: golden int path + residual/LN glue."""
+    blk = params["blocks"][0]
+    attn = jax.vmap(lambda s: II.ita_attention_f32(s, ip["attn"][0]))(x)
+    h = L.layer_norm(x + attn, blk["ln1"])
+    ffn = jax.vmap(lambda s: II.ita_ffn_f32(s, ip["ffn"][0]))(h)
+    return L.layer_norm(h + ffn, blk["ln2"])
+
+
+def test_kernel_interpret_bit_exact_vs_golden(setup):
+    params, ip = setup
+    blk = params["blocks"][0]
+    key = jax.random.PRNGKey(11)
+    x = 0.5 * jax.random.normal(key, (2, CFG.S, CFG.E))
+
+    ref = golden_block(x, params, ip)
+    got = ita_encoder_block(
+        x, ip["attn"][0], ip["ffn"][0], blk["ln1"], blk["ln2"], interpret=True
+    )
+    # The integer stages must agree bit-for-bit; the float glue (dequant,
+    # LN) may differ only by f32 rounding in the last ulps.
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_kernel_interpret_integer_stage_exactness(setup):
+    """Drive the kernel with inputs that exercise softmax saturation and
+    requant clamping; outputs must still match the golden path."""
+    params, ip = setup
+    blk = params["blocks"][0]
+    key = jax.random.PRNGKey(13)
+    # Large-amplitude inputs -> saturated int8 grid, extreme logits.
+    x = 4.0 * jax.random.normal(key, (1, CFG.S, CFG.E))
+    ref = golden_block(x, params, ip)
+    got = ita_encoder_block(
+        x, ip["attn"][0], ip["ffn"][0], blk["ln1"], blk["ln2"], interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_kernel_batch_grid(setup):
+    params, ip = setup
+    blk = params["blocks"][0]
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(17), (4, CFG.S, CFG.E))
+    ref = golden_block(x, params, ip)
+    got = ita_encoder_block(
+        x, ip["attn"][0], ip["ffn"][0], blk["ln1"], blk["ln2"], interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_long_division_helper():
+    from drone_oa_iree_vit_accelerator_tpu.ops.pallas.ita_kernel import (
+        _SOFTMAX_NUM,
+        _floor_div_u25,
+    )
+
+    dens = np.concatenate(
+        [[1, 2, 3, 255, 256, 257], np.arange(1, 32769, 517), [32768]]
+    ).astype(np.int32)
+    got = np.asarray(_floor_div_u25(_SOFTMAX_NUM, jnp.asarray(dens)))
+    np.testing.assert_array_equal(got, _SOFTMAX_NUM // dens)
+
+
+def test_pallas_forward_full_model_matches_int8_forward(setup):
+    params, ip = setup
+    key = jax.random.PRNGKey(19)
+    frame = jax.random.uniform(key, (2, 1, 60, 90))
+    vel = jnp.ones((2, 1))
+    quat = jnp.tile(jnp.asarray([[1.0, 0, 0, 0]]), (2, 1))
+
+    cmd_ref, st_ref = QZ.int8_forward(CFG, params, ip, frame, vel, quat)
+    cmd_pal, st_pal = QZ.pallas_forward(
+        CFG, params, ip, frame, vel, quat, interpret=True
+    )
+    # Same integer arithmetic; only f32 glue rounding may differ.
+    np.testing.assert_allclose(
+        np.asarray(cmd_pal), np.asarray(cmd_ref), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_pal.h), np.asarray(st_ref.h), atol=1e-4
+    )
