@@ -1,0 +1,233 @@
+"""Serving engine: fused camera->command step + drop-in UDP server.
+
+The reference's serve path (SURVEY.md section 3.4) is a C++ loop around the
+IREE VM: unpack UDP packet, normalize, run .vmfb, post-process, reply,
+carry LSTM state with a host-side f16->f32 bounce. Here the whole
+numeric path — u8 normalize, resize, model (fused Pallas int8 encoder),
+velocity post-processing — is ONE jitted XLA program; the LSTM state
+never leaves the device; the UDP shell is the native C++ loop
+(native/codec.cpp) with this engine bound as its frame callback.
+
+Velocity post-processing (in-jit) mirrors reference
+calculate_final_velocity (main.cpp:381-417): clip vx to [-1,1],
+L2-normalize, scale by desired velocity, and floor vx near the start
+line (pos_x < 2 -> vx = max(1, pos_x/2 * desired_vel)).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import ITA_SINGLE_LAYER_UPSAMPLE_SHUFFLE, ModelConfig
+from ..models import vit_lstm as M
+from .. import quant as QZ
+from . import wire
+
+_MIN_X_VEL = 1.0
+_CONTROL_THRESHOLD = 2.0
+
+
+def postprocess_velocity(
+    cmd: jax.Array, desired_vel: jax.Array, pos_x: jax.Array
+) -> jax.Array:
+    """In-jit velocity command post-processing; cmd (3,)."""
+    vx = jnp.clip(cmd[0], -1.0, 1.0)
+    v = jnp.stack([vx, cmd[1], cmd[2]])
+    norm = jnp.linalg.norm(v)
+    v = jnp.where(norm > 0, v / norm, v) * desired_vel
+    vx_floor = jnp.maximum(_MIN_X_VEL, pos_x / _CONTROL_THRESHOLD * desired_vel)
+    vx_out = jnp.where(pos_x < _CONTROL_THRESHOLD, vx_floor, v[0])
+    return jnp.stack([vx_out, v[1], v[2]])
+
+
+def make_serving_step(cfg: ModelConfig, path: str = "pallas"):
+    """Build the single-frame serving function.
+
+    step(params, int_params, image_u8(60,90), vel, pos_x, quat(4,), state)
+      -> (cmd(3,), state)
+    """
+    if path == "pallas":
+        # Off-TPU the Pallas kernel runs in the interpreter (the analog of
+        # the reference's x86 dummy-dispatch test build).
+        interp = jax.default_backend() != "tpu"
+        fwd = lambda cfg, p, ip, f, v, q, s: QZ.pallas_forward(
+            cfg, p, ip, f, v, q, s, interpret=interp
+        )
+    elif path == "int8":
+        fwd = QZ.int8_forward
+    elif path == "f32":
+        fwd = lambda cfg, p, ip, f, v, q, s: M.forward(cfg, p, f, v, q, s)
+    else:
+        raise ValueError(path)
+
+    def step(params, int_params, image_u8, vel, pos_x, quat, state):
+        frame = image_u8.astype(jnp.float32)[None, None, :, :] / 255.0
+        cmd, new_state = fwd(
+            cfg, params, int_params, frame, vel[None, None], quat[None, :], state
+        )
+        out = postprocess_velocity(cmd[0], vel, pos_x)
+        return out, new_state
+
+    return jax.jit(step)
+
+
+class ServingEngine:
+    """Stateful frame server: holds params and the device-resident LSTM
+    state across frames (reset per trajectory like the reference's
+    per-trajectory state reset)."""
+
+    def __init__(
+        self,
+        cfg: ModelConfig = ITA_SINGLE_LAYER_UPSAMPLE_SHUFFLE,
+        params: dict | None = None,
+        int_params: dict | None = None,
+        path: str = "pallas",
+    ):
+        self.cfg = cfg
+        if params is None:
+            params = M.init_params(cfg, jax.random.PRNGKey(0))
+        if int_params is None:
+            int_params = _calibrate_random(cfg, params)
+        self.params = params
+        self.int_params = int_params
+        self.step = make_serving_step(cfg, path)
+        self.state = M.zero_state(cfg, 1)
+        self.frames = 0
+
+    def reset(self) -> None:
+        self.state = M.zero_state(self.cfg, 1)
+
+    def warmup(self) -> None:
+        img = jnp.zeros(wire.IMAGE_SHAPE, jnp.uint8)
+        cmd, _ = self.step(
+            self.params, self.int_params, img, jnp.float32(1.0),
+            jnp.float32(5.0), jnp.zeros((4,), jnp.float32), self.state,
+        )
+        # Absorb the first device-to-host transfer here: on the axon
+        # platform the process's FIRST D2H takes minutes (relay transport
+        # switch); every later one is instant. Real TPU hosts: microseconds.
+        np.asarray(cmd)
+
+    def process(self, frame: wire.Frame) -> np.ndarray:
+        cmd, self.state = self.step(
+            self.params,
+            self.int_params,
+            jnp.asarray(frame.image),
+            jnp.float32(frame.desired_velocity),
+            jnp.float32(frame.position_x),
+            jnp.asarray(frame.quaternion),
+            self.state,
+        )
+        self.frames += 1
+        return np.asarray(cmd)
+
+    def handle_packet(self, packet: bytes) -> bytes:
+        return wire.pack_reply(self.process(wire.unpack_frame(packet)))
+
+
+def serve_udp(engine: ServingEngine, port: int = 10001, stop_flag=None) -> int:
+    """Run the native C++ UDP loop with the engine as frame callback.
+
+    Blocks until *stop_flag (a ctypes c_int) becomes nonzero. Returns the
+    number of frames served.
+    """
+    from .. import native
+
+    lib = native.load()
+    engine.warmup()
+    if stop_flag is None:
+        stop_flag = ctypes.c_int(0)
+
+    @native.FRAME_CB
+    def cb(packet_ptr, length, reply_ptr, _user):
+        try:
+            packet = ctypes.string_at(packet_ptr, length)
+            reply = engine.handle_packet(packet)
+            ctypes.memmove(reply_ptr, reply, len(reply))
+            return 0
+        except Exception:
+            return 1  # drop malformed packets, keep serving
+
+    return lib.doa_udp_serve(port, cb, None, ctypes.byref(stop_flag))
+
+
+def _calibrate_random(cfg: ModelConfig, params: dict) -> dict:
+    """Calibrate observers on random activations and convert (used when no
+    trained checkpoint is supplied; real deployments load trained scales)."""
+
+    @jax.jit
+    def calibrate(params, obs, x):
+        attn_fn, ffn_fn, collect = QZ.qat_block_fns(params, obs, cfg.H)
+        for i in range(cfg.num_layers):
+            attn_fn(i, x)
+            ffn_fn(i, x)
+        return collect()
+
+    obs = calibrate(
+        params,
+        QZ.QATObservers.init(cfg.num_layers),
+        0.5 * jax.random.normal(jax.random.PRNGKey(1), (2, cfg.S, cfg.E)),
+    )
+    return jax.jit(QZ.convert_model, static_argnums=2)(params, obs, cfg.H)
+
+
+def _demo(n_frames: int = 50, port: int = 10001) -> None:
+    """Loopback round-trip demo: spin up the server in a thread, drive it
+    with synthetic frames through a real UDP socket, print latency."""
+    import socket
+    import threading
+
+    engine = ServingEngine()
+    print("compiling serving step...")
+    engine.warmup()  # compile before opening the socket (slow on axon)
+    stop = ctypes.c_int(0)
+    t = threading.Thread(target=serve_udp, args=(engine, port, stop), daemon=True)
+    t.start()
+    time.sleep(0.3)
+
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sock.settimeout(30.0)
+    rng = np.random.default_rng(0)
+    lat = []
+    for i in range(n_frames):
+        img = rng.integers(0, 256, wire.IMAGE_SHAPE, np.uint8)
+        pkt = wire.pack_frame(img, 5.0, float(i) * 0.5, [1, 0, 0, 0])
+        t0 = time.perf_counter()
+        sock.sendto(pkt, ("127.0.0.1", port))
+        reply, _ = sock.recvfrom(64)
+        lat.append(time.perf_counter() - t0)
+        if i < 3 or i == n_frames - 1:
+            print(f"frame {i}: cmd={wire.unpack_reply(reply)}")
+    stop.value = 1
+    t.join(timeout=2)
+    lat.sort()
+    print(
+        f"served {n_frames} frames over UDP: p50 "
+        f"{lat[len(lat)//2]*1e3:.3f} ms, p99 {lat[int(len(lat)*.99)]*1e3:.3f} ms"
+    )
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--demo", action="store_true")
+    ap.add_argument("--port", type=int, default=10001)
+    ap.add_argument("--frames", type=int, default=50)
+    ap.add_argument(
+        "--backend", default=None,
+        help="force a jax backend (e.g. cpu) before any device use",
+    )
+    args = ap.parse_args()
+    if args.backend:
+        jax.config.update("jax_platforms", args.backend)
+    if args.demo:
+        _demo(args.frames, args.port)
+    else:
+        print(f"serving on UDP :{args.port} (ctrl-c to stop)")
+        serve_udp(ServingEngine(), args.port)
