@@ -1,0 +1,162 @@
+"""AOT export of the serving step — the .vmfb analog.
+
+The reference deploys by exporting PyTorch -> ONNX -> MLIR ->
+iree-compile -> .vmfb (SURVEY.md section 3.3). The TPU-native equivalent is
+jax.export: the jitted serving step serializes to a portable StableHLO
+artifact that reloads and executes without any Python model code —
+one file, no intermediate formats.
+
+    python -m drone_oa_iree_vit_accelerator_tpu.pipeline.aot \
+        --out model.jaxexport [--path pallas|int8|f32]
+
+The artifact bundles (a) the serialized computation and (b) the
+parameter pytrees (npz), mirroring how a .vmfb carries its constants.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import pathlib
+import zipfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jax_export
+
+from ..core.config import ITA_SINGLE_LAYER_UPSAMPLE_SHUFFLE, MODEL_ZOO, ModelConfig
+from ..models import params_io, vit_lstm as M
+from . import wire
+from .serve import make_serving_step
+
+
+def _example_args(cfg: ModelConfig):
+    return (
+        jnp.zeros(wire.IMAGE_SHAPE, jnp.uint8),
+        jnp.float32(1.0),
+        jnp.float32(5.0),
+        jnp.zeros((4,), jnp.float32),
+        M.zero_state(cfg, 1),
+    )
+
+
+def export_serving_step(
+    out_path: str | pathlib.Path,
+    cfg: ModelConfig = ITA_SINGLE_LAYER_UPSAMPLE_SHUFFLE,
+    params: dict | None = None,
+    int_params: dict | None = None,
+    path: str = "pallas",
+) -> pathlib.Path:
+    """Serialize the full serving step + parameters into one artifact."""
+    if params is None:
+        params = M.init_params(cfg, jax.random.PRNGKey(0))
+    if int_params is None:
+        from .serve import _calibrate_random
+
+        int_params = _calibrate_random(cfg, params)
+
+    step = make_serving_step(cfg, path)
+    # jax.export only serializes standard pytree containers; flatten the
+    # int-param structs (flax dataclasses with static auxdata) to a leaf
+    # tuple at the export boundary and rebuild inside.
+    ip_leaves, ip_treedef = jax.tree_util.tree_flatten(int_params)
+    example = _example_args(cfg)
+
+    def step_flat(params, ip_leaves, image, vel, pos_x, quat, h, c):
+        ip = jax.tree_util.tree_unflatten(ip_treedef, list(ip_leaves))
+        cmd, st = step(params, ip, image, vel, pos_x, quat, M.LSTMState(h, c))
+        return cmd, st.h, st.c
+
+    state = example[-1]
+    args = (params, tuple(ip_leaves), *example[:-1], state.h, state.c)
+    exported = jax_export.export(jax.jit(step_flat))(*args)
+
+    out_path = pathlib.Path(out_path)
+    with zipfile.ZipFile(out_path, "w") as zf:
+        zf.writestr("computation.bin", exported.serialize())
+        for name, tree in (("params", params), ("int_params", int_params)):
+            buf = io.BytesIO()
+            leaves = jax.tree_util.tree_leaves_with_path(tree)
+            np.savez(
+                buf,
+                **{
+                    f"{i:04d}|{jax.tree_util.keystr(kp)}": np.asarray(l)
+                    for i, (kp, l) in enumerate(leaves)
+                },
+            )
+            zf.writestr(f"{name}.npz", buf.getvalue())
+        zf.writestr(
+            "meta.json",
+            json.dumps(
+                {
+                    "model": cfg.name,
+                    "path": path,
+                    "platforms": list(exported.platforms),
+                    "wire": {"request": wire.REQUEST_SIZE, "reply": wire.REPLY_SIZE},
+                }
+            ),
+        )
+    return out_path
+
+
+def load_serving_step(artifact: str | pathlib.Path):
+    """Reload an exported artifact; returns (step_fn, params, int_params,
+    meta). step_fn(image_u8, vel, pos_x, quat, state) -> (cmd, state)."""
+    from ..quant.convert import convert_model  # noqa: F401  (doc pointer)
+
+    with zipfile.ZipFile(artifact) as zf:
+        exported = jax_export.deserialize(zf.read("computation.bin"))
+        meta = json.loads(zf.read("meta.json"))
+        cfg = MODEL_ZOO[meta["model"]]
+
+        def load_tree(name, like):
+            data = np.load(io.BytesIO(zf.read(name)))
+            ordered = [
+                data[k]
+                for k in sorted(data.files, key=lambda s: int(s.split("|")[0]))
+            ]
+            _, treedef = jax.tree_util.tree_flatten(like)
+            return jax.tree_util.tree_unflatten(
+                treedef, [jnp.asarray(a) for a in ordered]
+            )
+
+        params = load_tree("params.npz", M.init_params(cfg, jax.random.PRNGKey(0)))
+        if meta["path"] in ("pallas", "int8"):
+            from .serve import _calibrate_random
+
+            int_params = load_tree("int_params.npz", _calibrate_random(cfg, params))
+        else:
+            int_params = None
+
+    ip_leaves = tuple(jax.tree_util.tree_leaves(int_params))
+
+    def step(image_u8, vel, pos_x, quat, state):
+        cmd, h, c = exported.call(
+            params, ip_leaves, image_u8, vel, pos_x, quat, state.h, state.c
+        )
+        return cmd, M.LSTMState(h, c)
+
+    return step, params, int_params, meta
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="model.jaxexport")
+    ap.add_argument("--path", default="pallas", choices=["pallas", "int8", "f32"])
+    ap.add_argument("--model", default="ITA_single_layer_upsample_shuffle")
+    ap.add_argument("--params", default=None, help="float checkpoint .npz")
+    ap.add_argument("--backend", default=None)
+    args = ap.parse_args()
+    if args.backend:
+        jax.config.update("jax_platforms", args.backend)
+    cfg = MODEL_ZOO[args.model]
+    params = None
+    if args.params:
+        params = params_io.load_params(
+            args.params, M.init_params(cfg, jax.random.PRNGKey(0))
+        )
+    p = export_serving_step(args.out, cfg, params=params, path=args.path)
+    print(f"exported {args.path} serving step to {p} ({p.stat().st_size} bytes)")

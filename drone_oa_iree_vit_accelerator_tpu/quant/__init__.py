@@ -33,13 +33,21 @@ def int8_block_fns(int_params: dict):
     return attn_fn, ffn_fn
 
 
-def int8_forward(cfg, params, int_params, frame, vel, quat, state=None, **kw):
+def int8_forward(
+    cfg, params, int_params, frame, vel, quat, state=None,
+    quantize_ffn=True, **kw
+):
     """Full-model forward with the integer attention/FFN path.
 
-    jit this function directly (params AND int_params as arguments)."""
+    jit this function directly (params AND int_params as arguments).
+    ``quantize_ffn=False`` reproduces the reference's QAT_only_attn
+    ablation (models/ITA_single_layer_upsample_shuffle/QAT_only_attn/
+    model.py: attention int8, FFN float)."""
     from ..models import vit_lstm as M
 
     attn_fn, ffn_fn = int8_block_fns(int_params)
+    if not quantize_ffn:
+        ffn_fn = None  # falls back to the float FFN inside forward
     return M.forward(
         cfg, params, frame, vel, quat, state, attn_fn=attn_fn, ffn_fn=ffn_fn, **kw
     )

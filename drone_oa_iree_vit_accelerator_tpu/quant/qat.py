@@ -169,12 +169,14 @@ def ffn_qat(
 
 
 def qat_block_fns(params: dict, observers: QATObservers, num_heads: int,
-                  update_obs: bool = True):
+                  update_obs: bool = True, quantize_ffn: bool = True):
     """Build (attn_fn, ffn_fn, collect) for models.vit_lstm.forward.
 
     Because BlockFn is (i, x) -> y while QAT must also return updated
     observers, updates are collected in a mutable side list and merged by
     ``collect()`` after the forward — call it exactly once per step.
+    ``quantize_ffn=False`` gives the reference's QAT_only_attn ablation
+    (FFN stays float, models/*/QAT_only_attn/model.py).
     """
     new_attn: dict[int, AttnObservers] = {}
     new_ffn: dict[int, FFNObservers] = {}
@@ -187,6 +189,10 @@ def qat_block_fns(params: dict, observers: QATObservers, num_heads: int,
         return y
 
     def ffn_fn(i, x):
+        if not quantize_ffn:
+            from ..models import layers as L
+
+            return L.ffn_f32(x, params["blocks"][i]["ffn"])
         y, st = ffn_qat(x, params["blocks"][i]["ffn"], observers.ffn[i], update_obs)
         new_ffn[i] = st
         return y
