@@ -90,3 +90,22 @@ def data_parallel_step(
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def sharded_rollout(rollout_fn: Callable, mesh: Mesh) -> Callable:
+    """Shard a batched closed-loop rollout over the mesh's batch axis.
+
+    rollout_fn(params, int_params, worlds) -> RolloutResult with every
+    leaf batched on axis 0 (sim/rollout.rollout_batch partial). Returns a
+    jitted function with params replicated and worlds/results sharded —
+    N drones split across chips, zero cross-chip traffic during the loop
+    (each drone's world is local; this is embarrassingly parallel DP).
+    """
+    sharded = jax.shard_map(
+        rollout_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(BATCH_AXIS)),
+        out_specs=P(BATCH_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

@@ -73,7 +73,9 @@ def make_serving_step(cfg: ModelConfig, path: str = "pallas"):
         out = postprocess_velocity(cmd[0], vel, pos_x)
         return out, new_state
 
-    return jax.jit(step)
+    # Donate the LSTM state: it is consumed and replaced every frame, so
+    # XLA can update it in place (no per-frame state copy).
+    return jax.jit(step, donate_argnums=(6,))
 
 
 class ServingEngine:

@@ -80,3 +80,32 @@ def test_inference_vmap_batch_sharded():
     )
     assert cmd.shape == (8, 3)
     assert bool(jnp.all(jnp.isfinite(cmd)))
+
+
+def test_sharded_rollout_over_mesh():
+    from drone_oa_iree_vit_accelerator_tpu.sim import rollout as R
+    from drone_oa_iree_vit_accelerator_tpu.sim import world as W
+
+    cfg = CFG
+    wcfg = W.WorldConfig(n_obstacles=2, x_min=100.0, x_max=110.0, goal_x=4.0)
+    key = jax.random.PRNGKey(0)
+    params = M.init_params(cfg, key)
+    worlds = R.sample_worlds(key, 8, wcfg)
+    mesh = PM.make_mesh()
+
+    def rollout_fn(p, ip, w):
+        return R.rollout_batch(
+            cfg, p, ip, w, wcfg=wcfg, steps=300, desired_vel=5.0, path="f32"
+        )
+
+    run = PM.sharded_rollout(rollout_fn, mesh)
+    res = run(
+        PM.replicate(mesh, params), None, PM.shard_batch(mesh, worlds)
+    )
+    assert res.success.shape == (8,)
+    assert bool(jnp.all(res.success))
+    # Matches the unsharded rollout exactly (same worlds, same policy).
+    res_ref = jax.jit(rollout_fn)(params, None, worlds)
+    np.testing.assert_allclose(
+        np.asarray(res.final_x), np.asarray(res_ref.final_x), atol=1e-5
+    )
