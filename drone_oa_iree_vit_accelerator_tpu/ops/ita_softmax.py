@@ -87,3 +87,19 @@ def ita_softmax_fakequant(x: jax.Array, axis: int = -1) -> jax.Array:
         return _ita_softmax_fakequant_lastdim(x)
     x_moved = jnp.moveaxis(x, axis, -1)
     return jnp.moveaxis(_ita_softmax_fakequant_lastdim(x_moved), -1, axis)
+
+
+def ita_partial_softmax(logits: jax.Array, k: int = 8) -> jax.Array:
+    """Float emulation of ITA's *partial* softmax mode (top-k streaming).
+
+    Reference scripts/export_model.py:26-36 (``ita_partial_max``): keep the
+    top-k logits per row, zero the rest (NOT -inf — the reference's quirk,
+    preserved), then take the float softmax. The hardware computes its
+    softmax progressively over column tiles keeping a bounded partial
+    state; this emulation is the reference's own stand-in for that mode.
+    """
+    seq = logits.shape[-1]
+    k = min(k, seq)
+    thresh = jax.lax.top_k(logits, k)[0][..., -1:]
+    masked = jnp.where(logits >= thresh, logits, 0.0)
+    return jax.nn.softmax(masked, axis=-1)

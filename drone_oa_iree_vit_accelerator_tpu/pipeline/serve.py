@@ -62,6 +62,26 @@ def make_serving_step(cfg: ModelConfig, path: str = "pallas"):
         fwd = QZ.int8_forward
     elif path == "f32":
         fwd = lambda cfg, p, ip, f, v, q, s: M.forward(cfg, p, f, v, q, s)
+    elif path == "bf16":
+        # Half-precision float path — the analog of the reference's
+        # --iree-input-demote-f32-to-f16 (the whole model runs f16 on the
+        # A53, CMakeLists.txt:15-33) including its per-step f16<->f32
+        # hidden-state bounce (main.cpp:217-224); bf16 is the TPU-native
+        # half format.
+        def fwd(cfg, p, ip, f, v, q, s):
+            to16 = lambda t: jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32
+                else x,
+                t,
+            )
+            cmd, st = M.forward(
+                cfg, to16(p), to16(f), to16(v), to16(q), to16(s)
+            )
+            to32 = lambda t: jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.float32), t
+            )
+            return to32(cmd), to32(st)
     else:
         raise ValueError(path)
 

@@ -2,6 +2,7 @@ import jax
 
 from ..ops.integer_ita import ita_attention_f32, ita_ffn_f32
 from .convert import convert_attention, convert_ffn, convert_model
+from .ptq import calibrate_ptq
 from .qat import (
     AttnObservers,
     FFNObservers,
@@ -96,5 +97,6 @@ __all__ = [
     "convert_attention",
     "convert_ffn",
     "convert_model",
+    "calibrate_ptq",
     "int8_block_fns",
 ]

@@ -60,8 +60,9 @@ def bilinear_resize(
     h_out, w_out = out_hw
     if (h_in, w_in) == (h_out, w_out):
         return x
-    mh = jnp.asarray(_interp_matrix(h_in, h_out, align_corners))
-    mw = jnp.asarray(_interp_matrix(w_in, w_out, align_corners))
+    # Match the input dtype so half-precision paths stay half precision.
+    mh = jnp.asarray(_interp_matrix(h_in, h_out, align_corners), x.dtype)
+    mw = jnp.asarray(_interp_matrix(w_in, w_out, align_corners), x.dtype)
     # (..., H_in, W_in) @ (W_in, W_out) then contract H.
     y = jnp.einsum("...hw,wW->...hW", x, mw.T)
     return jnp.einsum("...hW,hH->...HW", y, mh.T)
