@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from .ita_softmax import SOFTMAX_OUT_SCALE, ita_integer_softmax
+from .ita_softmax import ita_integer_softmax
 from .quant import dequantize, quantize, requant
 
 

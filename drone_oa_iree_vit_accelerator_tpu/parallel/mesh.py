@@ -16,11 +16,9 @@ v5e pod slice, or the 8-device virtual CPU mesh used in tests.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -103,8 +103,6 @@ def export_serving_step(
 def load_serving_step(artifact: str | pathlib.Path):
     """Reload an exported artifact; returns (step_fn, params, int_params,
     meta). step_fn(image_u8, vel, pos_x, quat, state) -> (cmd, state)."""
-    from ..quant.convert import convert_model  # noqa: F401  (doc pointer)
-
     with zipfile.ZipFile(artifact) as zf:
         exported = jax_export.deserialize(zf.read("computation.bin"))
         meta = json.loads(zf.read("meta.json"))

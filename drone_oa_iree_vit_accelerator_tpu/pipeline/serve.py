@@ -98,6 +98,47 @@ def make_serving_step(cfg: ModelConfig, path: str = "pallas"):
     return jax.jit(step, donate_argnums=(6,))
 
 
+def make_fused_serving_step(cfg: ModelConfig):
+    """Two-kernel serving step: the entire model runs as [tokenizer+fusion
+    XLA glue] + fused Pallas encoder kernel + fused Pallas tail kernel
+    (decoder/LSTM/head/post-processing) — the minimum-launch-count
+    deployment configuration.
+    """
+    from ..models import layers as L
+    from ..ops.pallas.ita_kernel import ita_encoder_block
+    from ..ops.pallas.tail_kernel import tail_fused
+
+    interp = jax.default_backend() != "tpu"
+
+    def step(params, int_params, image_u8, vel, pos_x, quat, state):
+        frame = image_u8.astype(jnp.float32)[None, None, :, :] / 255.0
+        tokens = L.tokenizer_forward(frame, params["tokenizer"], cfg)
+        x = tokens
+        for i in range(cfg.num_layers):
+            blk = params["blocks"][i]
+            x = ita_encoder_block(
+                x, int_params["attn"][i], int_params["ffn"][i],
+                blk["ln1"], blk["ln2"], interpret=interp,
+            )
+        flat = M.fuse_tokens(cfg, params, x)  # (1, decoder_in)
+
+        dec, head = params["decoder"], params["fc2"]
+        if cfg.spectral_norm_decoder:
+            dec_w, _, _ = L.spectral_norm_weight(dec["w"], dec["u"], dec["v"])
+            head_w, _, _ = L.spectral_norm_weight(head["w"], head["u"], head["v"])
+        else:
+            dec_w, head_w = dec["w"], head["w"]
+
+        extra = jnp.concatenate([vel[None, None] / 10.0, quat[None, :]], axis=1)
+        cmd, h, c = tail_fused(
+            flat, extra, vel, pos_x, dec_w, dec["b"], params["lstm"],
+            head_w, head["b"], state.h, state.c, interpret=interp,
+        )
+        return cmd[0], M.LSTMState(h, c)
+
+    return jax.jit(step, donate_argnums=(6,))
+
+
 class ServingEngine:
     """Stateful frame server: holds params and the device-resident LSTM
     state across frames (reset per trajectory like the reference's

@@ -13,7 +13,6 @@ import json
 from typing import Any
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import ITA_SINGLE_LAYER_UPSAMPLE_SHUFFLE, ModelConfig

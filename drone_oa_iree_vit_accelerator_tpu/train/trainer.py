@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..core.config import ITA_SINGLE_LAYER_UPSAMPLE_SHUFFLE, MODEL_ZOO, ModelConfig
+from ..core.config import MODEL_ZOO, ModelConfig
 from ..models import layers as L
 from ..models import params_io, vit_lstm as M
 from . import dataset as D

@@ -25,9 +25,6 @@ jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
-from drone_oa_iree_vit_accelerator_tpu.core import (  # noqa: E402
-    ITA_SINGLE_LAYER_UPSAMPLE_SHUFFLE as CFG,
-)
 from drone_oa_iree_vit_accelerator_tpu.sim import evaluate as E  # noqa: E402
 from drone_oa_iree_vit_accelerator_tpu.sim.world import WorldConfig  # noqa: E402
 from drone_oa_iree_vit_accelerator_tpu.train import dataset as D  # noqa: E402

@@ -5,7 +5,6 @@ reproduce (reference export parity criterion: atol 1e-5,
 tests/export_onnx.py:128).
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

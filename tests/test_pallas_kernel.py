@@ -119,3 +119,30 @@ def test_pallas_forward_full_model_matches_int8_forward(setup):
     np.testing.assert_allclose(
         np.asarray(st_pal.h), np.asarray(st_ref.h), atol=1e-4
     )
+
+
+def test_fused_two_kernel_serving_step_matches_pallas_path(setup):
+    """The minimum-launch two-kernel deployment step (encoder kernel +
+    tail kernel with in-kernel LSTM/post-processing) is numerically
+    identical to the standard pallas path."""
+    from drone_oa_iree_vit_accelerator_tpu.pipeline import wire
+    from drone_oa_iree_vit_accelerator_tpu.pipeline.serve import (
+        make_fused_serving_step,
+        make_serving_step,
+    )
+
+    params, ip = setup
+    args = (
+        jnp.full(wire.IMAGE_SHAPE, 99, jnp.uint8),
+        jnp.float32(4.0),
+        jnp.float32(7.0),
+        jnp.asarray([0.9, 0.1, 0.2, 0.3], jnp.float32),
+    )
+    cmd_ref, st_ref = make_serving_step(CFG, "pallas")(
+        params, ip, *args, M.zero_state(CFG, 1)
+    )
+    cmd_f, st_f = make_fused_serving_step(CFG)(
+        params, ip, *args, M.zero_state(CFG, 1)
+    )
+    np.testing.assert_allclose(np.asarray(cmd_f), np.asarray(cmd_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_f.h), np.asarray(st_ref.h), atol=1e-6)

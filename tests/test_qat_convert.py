@@ -19,7 +19,6 @@ from drone_oa_iree_vit_accelerator_tpu.ops import integer_ita as II
 from drone_oa_iree_vit_accelerator_tpu.ops import quant as Q
 from drone_oa_iree_vit_accelerator_tpu.ops.ita_softmax import (
     SOFTMAX_OUT_SCALE,
-    ita_integer_softmax,
 )
 from drone_oa_iree_vit_accelerator_tpu import quant as QZ
 

@@ -113,10 +113,6 @@ def test_qat_only_attn_ablation(model):
 def test_multilayer_e128_base_config_int8_and_pallas():
     """The reference's 2-layer E=128 base model (tests/tuki.py parity
     target): integer path and Pallas kernel handle it too."""
-    from drone_oa_iree_vit_accelerator_tpu.ops.pallas.ita_kernel import (
-        ita_encoder_block,
-    )
-
     cfg = ITA_BASE
     key = jax.random.PRNGKey(5)
     params = M.init_params(cfg, key)

@@ -14,7 +14,6 @@ torch = pytest.importorskip("torch")
 import torch.nn as nn  # noqa: E402
 import torch.nn.functional as TF  # noqa: E402
 
-import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from drone_oa_iree_vit_accelerator_tpu.core import (  # noqa: E402

@@ -2,7 +2,6 @@
 int8 artifact. Exercises SURVEY.md section 7 hard-part 5 (self-trained small
 checkpoints driving the full QAT -> int8 -> parity chain)."""
 
-import json
 import pathlib
 
 import jax
@@ -11,7 +10,7 @@ import numpy as np
 import pytest
 
 from drone_oa_iree_vit_accelerator_tpu.core import ITA_SINGLE_LAYER_UPSAMPLE_SHUFFLE as CFG
-from drone_oa_iree_vit_accelerator_tpu.models import params_io, vit_lstm as M
+from drone_oa_iree_vit_accelerator_tpu.models import params_io
 from drone_oa_iree_vit_accelerator_tpu.train import dataset as D
 from drone_oa_iree_vit_accelerator_tpu.train.qat_trainer import QATConfig, QATTrainer
 from drone_oa_iree_vit_accelerator_tpu.train.trainer import TrainConfig, Trainer
