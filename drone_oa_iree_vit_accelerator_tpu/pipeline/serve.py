@@ -108,6 +108,16 @@ def make_fused_serving_step(cfg: ModelConfig):
     from ..ops.pallas.ita_kernel import ita_encoder_block
     from ..ops.pallas.tail_kernel import tail_fused
 
+    # The tail kernel keeps the decoder weight VMEM-resident; the
+    # flatten-fusion variants (decoder_in = S*E up to 16384 -> 32 MB f32)
+    # exceed VMEM. Only the conv-fusion head fits.
+    dec_bytes = cfg.decoder_in * cfg.decoder_out * 4
+    if dec_bytes > 12 * 1024 * 1024:
+        raise ValueError(
+            f"{cfg.name}: decoder weight {dec_bytes/2**20:.0f} MiB exceeds "
+            "VMEM; use make_serving_step(path='pallas') instead"
+        )
+
     interp = jax.default_backend() != "tpu"
 
     def step(params, int_params, image_u8, vel, pos_x, quat, state):

@@ -30,11 +30,9 @@ def _interp_matrix(
     """(out_size, in_size) row-stochastic linear interpolation matrix."""
     m = np.zeros((out_size, in_size), np.float32)
     if out_size == 1:
-        # Degenerate: torch samples the origin (align_corners) / center.
-        src = np.array([0.0 if align_corners else (in_size - 1) / 2.0 * 0.0])
-        # align_corners=False with out=1: src = 0.5*in/1 - 0.5 = in/2 - 0.5
-        if not align_corners:
-            src = np.array([in_size / 2.0 - 0.5])
+        # Degenerate single-sample row: torch samples the origin when
+        # align_corners else the image center.
+        src = np.array([0.0 if align_corners else in_size / 2.0 - 0.5])
     elif align_corners:
         src = np.arange(out_size) * (in_size - 1) / (out_size - 1)
     else:
