@@ -177,9 +177,12 @@ class ServingEngine:
 
     def warmup(self) -> None:
         img = jnp.zeros(wire.IMAGE_SHAPE, jnp.uint8)
+        # Fresh throwaway state: the step donates (deletes) its state
+        # argument, and self.state must stay alive for the first frame.
         cmd, _ = self.step(
             self.params, self.int_params, img, jnp.float32(1.0),
-            jnp.float32(5.0), jnp.zeros((4,), jnp.float32), self.state,
+            jnp.float32(5.0), jnp.zeros((4,), jnp.float32),
+            M.zero_state(self.cfg, 1),
         )
         # Absorb the first device-to-host transfer here: on the axon
         # platform the process's FIRST D2H takes minutes (relay transport
@@ -203,11 +206,23 @@ class ServingEngine:
         return wire.pack_reply(self.process(wire.unpack_frame(packet)))
 
 
-def serve_udp(engine: ServingEngine, port: int = 10001, stop_flag=None) -> int:
+def serve_udp(
+    engine: ServingEngine,
+    port: int = 10001,
+    stop_flag=None,
+    reset_after_idle_s: float | None = 2.0,
+) -> int:
     """Run the native C++ UDP loop with the engine as frame callback.
 
     Blocks until *stop_flag (a ctypes c_int) becomes nonzero. Returns the
     number of frames served.
+
+    ``reset_after_idle_s``: watchdog analog of the reference's rollout
+    supervision (launch_evaluation_FPGA.bash:139-153 kills and relaunches
+    hung rollouts; the replay tools reset LSTM state per trajectory). A
+    gap in the frame stream longer than this marks a trajectory boundary
+    and resets the recurrent state, so a crashed/restarted sim doesn't
+    resume against stale memory. ``None`` disables.
     """
     from .. import native
 
@@ -215,10 +230,19 @@ def serve_udp(engine: ServingEngine, port: int = 10001, stop_flag=None) -> int:
     engine.warmup()
     if stop_flag is None:
         stop_flag = ctypes.c_int(0)
+    last_frame = [0.0]
 
     @native.FRAME_CB
     def cb(packet_ptr, length, reply_ptr, _user):
         try:
+            now = time.monotonic()
+            if (
+                reset_after_idle_s is not None
+                and last_frame[0] > 0.0
+                and now - last_frame[0] > reset_after_idle_s
+            ):
+                engine.reset()
+            last_frame[0] = now
             packet = ctypes.string_at(packet_ptr, length)
             reply = engine.handle_packet(packet)
             ctypes.memmove(reply_ptr, reply, len(reply))

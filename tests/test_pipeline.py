@@ -138,3 +138,46 @@ def test_postprocess_velocity_semantics():
     # Near the start line (pos_x < 2): vx floored.
     out = np.asarray(postprocess_velocity(cmd, jnp.float32(5.0), jnp.float32(0.2)))
     np.testing.assert_allclose(out[0], max(1.0, 0.2 / 2.0 * 5.0), atol=1e-6)
+
+
+def test_udp_idle_watchdog_resets_state(lib):
+    """Frame-stream gap > reset_after_idle_s resets the LSTM state (the
+    trajectory-boundary watchdog)."""
+    import jax.numpy as jnp
+
+    from drone_oa_iree_vit_accelerator_tpu.pipeline.serve import (
+        ServingEngine,
+        serve_udp,
+    )
+
+    engine = ServingEngine(path="f32")
+    engine.warmup()
+    stop = ctypes.c_int(0)
+    port = 19003
+    t = threading.Thread(
+        target=serve_udp, args=(engine, port, stop, 0.4), daemon=True
+    )
+    t.start()
+    time.sleep(0.3)
+
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sock.settimeout(10.0)
+    img = np.full(wire.IMAGE_SHAPE, 64, np.uint8)
+    pkt = wire.pack_frame(img, 5.0, 9.0, [1, 0, 0, 0])
+
+    sock.sendto(pkt, ("127.0.0.1", port))
+    first, _ = sock.recvfrom(64)
+    sock.sendto(pkt, ("127.0.0.1", port))
+    second, _ = sock.recvfrom(64)  # state evolved: differs from first
+    assert not np.allclose(wire.unpack_reply(first), wire.unpack_reply(second))
+
+    time.sleep(0.8)  # exceed the idle window -> reset
+    sock.sendto(pkt, ("127.0.0.1", port))
+    after_reset, _ = sock.recvfrom(64)
+    np.testing.assert_allclose(
+        wire.unpack_reply(after_reset), wire.unpack_reply(first), atol=1e-6
+    )
+
+    sock.close()
+    stop.value = 1
+    t.join(timeout=2)
