@@ -31,13 +31,21 @@ import jax.numpy as jnp
 NORTH_STAR_FPS = 10_000.0
 
 
-def _bench(step, frame, vel, quat, state, iters=300):
-    cmd, st = step(frame, vel, quat, state)
+def _bench(step, frames, vel, quat, state, iters=300):
+    """Latency over ``iters`` calls cycling through DISTINCT input frames.
+
+    Identical repeat calls can be short-circuited by caching layers
+    between the host and the chip (measured: a 1.1-TFLOP program
+    "completing" in 0.07 ms when re-invoked with identical inputs), so
+    every iteration must present fresh data — as real serving does.
+    """
+    k = len(frames)
+    cmd, st = step(frames[0], vel, quat, state)
     jax.block_until_ready(cmd)
     lat = []
-    for _ in range(iters):
+    for i in range(iters):
         t0 = time.perf_counter()
-        cmd, st = step(frame, vel, quat, st)
+        cmd, st = step(frames[(i + 1) % k], vel, quat, st)
         jax.block_until_ready(cmd)
         lat.append(time.perf_counter() - t0)
     lat.sort()
@@ -97,9 +105,16 @@ def main() -> None:
 
         return lambda f, v, q, s: step(params, int_params, f, v, q, s)
 
-    def inputs(batch):
+    def inputs(batch, n_distinct=16):
+        frames = [
+            jax.random.randint(
+                jax.random.PRNGKey(i), (batch, 1, 60, 90), 0, 256, jnp.uint8
+            )
+            for i in range(n_distinct)
+        ]
+        jax.block_until_ready(frames)
         return (
-            jnp.zeros((batch, 1, 60, 90), jnp.uint8),
+            frames,
             jnp.ones((batch, 1), jnp.float32),
             jnp.tile(jnp.asarray([[1.0, 0, 0, 0]], jnp.float32), (batch, 1)),
             M.zero_state(CFG, batch),
@@ -107,15 +122,17 @@ def main() -> None:
 
     results = {}
     for kind in ("pallas", "int8", "f32"):
-        p50, p99 = _bench(make_step(kind), *inputs(1))
+        # One distinct frame per iteration: repeat-call short-circuiting
+        # would otherwise kick in once the LSTM state converges.
+        p50, p99 = _bench(make_step(kind), *inputs(1, n_distinct=301), iters=300)
         results[kind] = (p50, p99)
 
     # Batched throughput on the pallas path.
     best_tp = 0.0
     best_batch = 1
     for batch in (64, 256, 1024):
-        f, v, q, s = inputs(batch)
-        p50, _ = _bench(make_step("pallas"), f, v, q, s, iters=50)
+        f, v, q, s = inputs(batch, n_distinct=31)
+        p50, _ = _bench(make_step("pallas"), f, v, q, s, iters=30)
         tp = batch / p50
         if tp > best_tp:
             best_tp, best_batch = tp, batch
