@@ -120,12 +120,11 @@ def load_serving_step(artifact: str | pathlib.Path):
             )
 
         params = load_tree("params.npz", M.init_params(cfg, jax.random.PRNGKey(0)))
-        if meta["path"] in ("pallas", "int8"):
-            from .serve import _calibrate_random
+        # int_params are always bundled (the f32 computation was traced
+        # with their leaves in the signature too, even though unused).
+        from .serve import _calibrate_random
 
-            int_params = load_tree("int_params.npz", _calibrate_random(cfg, params))
-        else:
-            int_params = None
+        int_params = load_tree("int_params.npz", _calibrate_random(cfg, params))
 
     ip_leaves = tuple(jax.tree_util.tree_leaves(int_params))
 

@@ -71,12 +71,19 @@ def load_trajectory(traj_dir: str | pathlib.Path) -> Trajectory:
                 except ValueError:
                     continue
 
-    frames, vel_des, quat, cmd = [], [], [], []
-    for png in sorted(traj_dir.glob("*.png")):
+    def _ts(png: pathlib.Path) -> float | None:
         try:
-            ts = round(float(png.stem), 3)
+            return float(png.stem)
         except ValueError:
-            continue
+            return None
+
+    # Numeric sort: lexical order breaks at ts >= 10 ("10.0" < "2.0").
+    pngs = sorted(
+        (p for p in traj_dir.glob("*.png") if _ts(p) is not None), key=_ts
+    )
+    frames, vel_des, quat, cmd = [], [], [], []
+    for png in pngs:
+        ts = round(float(png.stem), 3)
         r = rows.get(ts)
         if r is None:
             continue

@@ -136,3 +136,23 @@ def test_multilayer_e128_base_config_int8_and_pallas():
     np.testing.assert_allclose(
         np.asarray(cmd_pal), np.asarray(cmd_int), atol=1e-4
     )
+
+
+def test_aot_export_f32_path_roundtrip(tmp_path, model):
+    """f32 artifacts bundle (unused) int params in the traced signature;
+    reload must supply them too."""
+    from drone_oa_iree_vit_accelerator_tpu.pipeline.aot import (
+        export_serving_step,
+        load_serving_step,
+    )
+
+    params, ip = model
+    art = tmp_path / "model_f32.jaxexport"
+    export_serving_step(art, CFG, params=params, int_params=ip, path="f32")
+    step, _, _, meta = load_serving_step(art)
+    assert meta["path"] == "f32"
+    cmd, st = step(
+        jnp.zeros(wire.IMAGE_SHAPE, jnp.uint8), jnp.float32(1.0),
+        jnp.float32(5.0), jnp.zeros((4,), jnp.float32), M.zero_state(CFG, 1),
+    )
+    assert cmd.shape == (3,) and bool(jnp.all(jnp.isfinite(cmd)))

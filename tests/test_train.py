@@ -124,3 +124,28 @@ def test_packaged_config_files_parse():
     qat = parse_config_file(str(cfg_dir / "qat.txt"))
     assert train["lr"] == 1e-4 and train["epochs"] == 500
     assert qat["lr"] == 1e-5 and qat["epochs"] == 20
+
+
+def test_trajectory_frames_sorted_numerically(tmp_path):
+    """Timestamps >= 10 s must not break frame ordering (lexical sort
+    would put '10.0' before '2.0')."""
+    import csv
+
+    from PIL import Image
+
+    tdir = tmp_path / "traj"
+    tdir.mkdir()
+    stamps = [2.0, 9.5, 10.0, 11.5]
+    with open(tdir / "data.csv", "w", newline="") as f:
+        wr = csv.writer(f)
+        wr.writerow(["idx", "ts", "vel", "q1", "q2", "q3", "q4",
+                     "px", "py", "pz", "vx", "vy", "vz"])
+        for i, ts in enumerate(stamps):
+            img = np.full((60, 90), i * 10, np.uint8)
+            Image.fromarray(img).save(tdir / f"{ts:.3f}.png")
+            wr.writerow([i, f"{ts:.3f}", 5.0, 1, 0, 0, 0, 0, 0, 0,
+                         float(i), 0.0, 0.0])
+    t = D.load_trajectory(tdir)
+    # Frame pixel values must follow timestamp order 2.0 < 9.5 < 10 < 11.5.
+    np.testing.assert_array_equal(t.frames[:, 0, 0, 0], [0, 10, 20, 30])
+    np.testing.assert_array_equal(t.cmd_gt[:, 0], [0.0, 1.0, 2.0, 3.0])
