@@ -235,6 +235,12 @@ def ita_encoder_block(
     (ops/integer_ita.py golden path; H=1 — multi-head layouts fall back to
     the golden model upstream).
     """
+    if attn.num_heads != 1:
+        raise NotImplementedError(
+            "the fused encoder kernel implements H=1 (every reference "
+            "config); use the jnp golden path (quant.int8_forward) for "
+            f"num_heads={attn.num_heads}"
+        )
     b, s, e = x.shape
     p = attn.q.w.shape[1]
     f = ffn.fc1.w.shape[1]
