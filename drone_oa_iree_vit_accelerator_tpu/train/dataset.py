@@ -198,34 +198,46 @@ def generate_synthetic(
     frame_stride: int = 5,
     seed: int = 0,
     wcfg: W.WorldConfig = W.WorldConfig(),
+    noise_std: float = 0.0,
 ) -> pathlib.Path:
     """Write a reference-layout dataset by rolling the expert through
-    random worlds (camera at ``frame_stride`` x dt period, ~20 Hz)."""
+    random worlds (camera at ``frame_stride`` x dt period, ~20 Hz).
+
+    ``noise_std`` > 0 injects Gaussian velocity noise into the EXECUTED
+    command while keeping the clean expert command as the label
+    (noisy-expert / DART-style recovery demonstrations — behavior cloning
+    otherwise collapses off-distribution; see
+    docs/HOW-TO-train-and-quantize.md checkpoint-selection note).
+    """
     from PIL import Image
 
     root = pathlib.Path(root)
     key = jax.random.PRNGKey(seed)
 
     @jax.jit
-    def run(world_centers, world_radii):
+    def run(world_centers, world_radii, noise_key):
         world = W.World(world_centers, world_radii)
 
-        def tick(state, t):
+        def tick(carry, t):
+            state, nk = carry
             img = W.render_depth(world, state.pos, wcfg)
             cmd = expert_command(world, state.pos, desired_vel, wcfg)
-            new = W.step_dynamics(state, cmd, wcfg)
-            return new, (img, cmd, state.pos)
+            nk, sub = jax.random.split(nk)
+            executed = cmd + noise_std * jax.random.normal(sub, (3,))
+            new = W.step_dynamics(state, executed, wcfg)
+            return (new, nk), (img, cmd, state.pos)
 
         state0 = W.init_drone(wcfg)
         _, (imgs, cmds, poss) = jax.lax.scan(
-            tick, state0, jnp.arange(steps * frame_stride)
+            tick, (state0, noise_key), jnp.arange(steps * frame_stride)
         )
         return imgs[::frame_stride], cmds[::frame_stride], poss[::frame_stride]
 
     for ti in range(n_trajectories):
         world = W.sample_world(jax.random.fold_in(key, ti), wcfg)
         imgs, cmds, poss = jax.tree_util.tree_map(
-            np.asarray, run(world.centers, world.radii)
+            np.asarray,
+            run(world.centers, world.radii, jax.random.fold_in(key, 10_000 + ti)),
         )
         tdir = root / f"trajectory_{ti:04d}"
         tdir.mkdir(parents=True, exist_ok=True)

@@ -156,3 +156,30 @@ def test_aot_export_f32_path_roundtrip(tmp_path, model):
         jnp.float32(5.0), jnp.zeros((4,), jnp.float32), M.zero_state(CFG, 1),
     )
     assert cmd.shape == (3,) and bool(jnp.all(jnp.isfinite(cmd)))
+
+
+def test_export_test_vectors(tmp_path, model):
+    """The export_hwpe analog writes per-stage vectors + manifest that
+    reproduce the golden pipeline exactly."""
+    import pathlib
+
+    from drone_oa_iree_vit_accelerator_tpu.ops import integer_ita as II
+    from drone_oa_iree_vit_accelerator_tpu.tools.export_test_vectors import (
+        export_vectors,
+    )
+
+    params, ip = model
+    out = export_vectors(tmp_path, CFG, ip, seed=3)
+    assert out.name == "data_S128_E64_P192_F256_H1_B1_Relu"
+    blk = np.load(out / "block_0.npz")
+    # Replay the attention from the dumped input/weights: must reproduce
+    # the dumped stage outputs bit-for-bit.
+    x = jnp.asarray(blk["input"], jnp.int8)
+    _, stages = II.ita_attention_int8(x, ip["attn"][0], collect_stages=True)
+    np.testing.assert_array_equal(np.asarray(stages["Qp_requant"]), blk["Qp_requant"])
+    np.testing.assert_array_equal(
+        np.asarray(stages["A_partial_softmax"]), blk["A_partial_softmax"]
+    )
+    manifest = json.loads((out / "manifest.json").read_text())
+    assert manifest["blocks"][0]["quant_params"]["qk"][0] == int(ip["attn"][0].qk_mult)
+    assert (out / "block0_A_requant.txt").exists()
