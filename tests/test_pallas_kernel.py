@@ -146,3 +146,46 @@ def test_fused_two_kernel_serving_step_matches_pallas_path(setup):
     )
     np.testing.assert_allclose(np.asarray(cmd_f), np.asarray(cmd_ref), atol=1e-5)
     np.testing.assert_allclose(np.asarray(st_f.h), np.asarray(st_ref.h), atol=1e-6)
+
+
+def test_tail_kernel_batched_matches_reference_math(setup):
+    """tail_fused over a batch grid == decoder/LSTM/head/postprocess
+    composed from models.layers (eval semantics)."""
+    from drone_oa_iree_vit_accelerator_tpu.models import layers as L
+    from drone_oa_iree_vit_accelerator_tpu.ops.pallas.tail_kernel import tail_fused
+    from drone_oa_iree_vit_accelerator_tpu.pipeline.serve import (
+        postprocess_velocity,
+    )
+
+    params, _ = setup
+    b = 3
+    key = jax.random.PRNGKey(23)
+    flat = jax.random.normal(key, (b, CFG.decoder_in))
+    vel = jnp.float32(4.0)
+    pos_x = jnp.float32(9.0)
+    extra = jnp.concatenate(
+        [jnp.full((b, 1), vel / 10.0), jnp.tile(jnp.asarray([[1.0, 0, 0, 0]]), (b, 1))],
+        axis=1,
+    )
+    h = 0.1 * jax.random.normal(jax.random.fold_in(key, 1), (3, b, 128))
+    c = 0.1 * jax.random.normal(jax.random.fold_in(key, 2), (3, b, 128))
+
+    dec, head = params["decoder"], params["fc2"]
+    dec_w, _, _ = L.spectral_norm_weight(dec["w"], dec["u"], dec["v"])
+    head_w, _, _ = L.spectral_norm_weight(head["w"], head["u"], head["v"])
+
+    cmd, h2, c2 = tail_fused(
+        flat, extra, vel, pos_x, dec_w, dec["b"], params["lstm"],
+        head_w, head["b"], h, c, interpret=True,
+    )
+
+    # Reference composition.
+    out = flat @ dec_w + dec["b"]
+    feat = jnp.concatenate([out, extra], axis=1)
+    y, (h_ref, c_ref) = L.lstm_forward(feat, (h, c), params["lstm"])
+    cmd_raw = y @ head_w + head["b"]
+    cmd_ref = jax.vmap(lambda r: postprocess_velocity(r, vel, pos_x))(cmd_raw)
+
+    np.testing.assert_allclose(np.asarray(cmd), np.asarray(cmd_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h2), np.asarray(h_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(c_ref), atol=1e-5)
