@@ -161,8 +161,6 @@ def test_aot_export_f32_path_roundtrip(tmp_path, model):
 def test_export_test_vectors(tmp_path, model):
     """The export_hwpe analog writes per-stage vectors + manifest that
     reproduce the golden pipeline exactly."""
-    import pathlib
-
     from drone_oa_iree_vit_accelerator_tpu.ops import integer_ita as II
     from drone_oa_iree_vit_accelerator_tpu.tools.export_test_vectors import (
         export_vectors,
