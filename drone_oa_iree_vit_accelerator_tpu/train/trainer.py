@@ -172,10 +172,32 @@ class Trainer:
         params_io.save_params(str(path), self.params)
         return path
 
-    def train(self) -> dict:
+    def save_resume_state(self, epoch: int) -> pathlib.Path:
+        """Full training state (params + optimizer + epoch) for resume —
+        the analog of the reference TRAINER's checkpoint_path resume."""
+        path = self.workspace / "resume_state.npz"
+        params_io.save_params(
+            str(path),
+            {"params": self.params, "opt_state": self.opt_state,
+             "epoch": jnp.int32(epoch)},
+        )
+        return path
+
+    def load_resume_state(self, path: str | pathlib.Path | None = None) -> int:
+        """Restore params/optimizer; returns the next epoch index."""
+        like = {"params": self.params, "opt_state": self.opt_state,
+                "epoch": jnp.int32(0)}
+        state = params_io.load_params(
+            str(path or self.workspace / "resume_state.npz"), like
+        )
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+        return int(state["epoch"]) + 1
+
+    def train(self, start_epoch: int = 0) -> dict:
         best_val, best_epoch, bad_epochs = float("inf"), -1, 0
         history = []
-        for epoch in range(self.tcfg.epochs):
+        for epoch in range(start_epoch, self.tcfg.epochs):
             epoch_losses = []
             for b in D.batches(
                 self.train_trajs, self.tcfg.batch_size,
@@ -203,6 +225,7 @@ class Trainer:
             )
             if (epoch + 1) % self.tcfg.save_model_freq == 0:
                 self.save(f"{epoch + 1:06d}")
+                self.save_resume_state(epoch)
             if (
                 self.val_trajs
                 and bad_epochs >= self.tcfg.early_stopping_patience

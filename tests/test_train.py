@@ -149,3 +149,34 @@ def test_trajectory_frames_sorted_numerically(tmp_path):
     # Frame pixel values must follow timestamp order 2.0 < 9.5 < 10 < 11.5.
     np.testing.assert_array_equal(t.frames[:, 0, 0, 0], [0, 10, 20, 30])
     np.testing.assert_array_equal(t.cmd_gt[:, 0], [0.0, 1.0, 2.0, 3.0])
+
+
+def test_resume_state_roundtrip(synth_root, tmp_path):
+    from drone_oa_iree_vit_accelerator_tpu.train.trainer import (
+        TrainConfig,
+        Trainer,
+    )
+
+    tcfg = TrainConfig(
+        dataset_dir=str(synth_root), workspace=str(tmp_path / "ws"),
+        epochs=4, batch_size=2, save_model_freq=2, lr_warmup_epochs=1,
+    )
+    tr = Trainer(tcfg)
+    tr.train()
+    assert (tmp_path / "ws" / "resume_state.npz").exists()
+
+    # A fresh trainer resumes with the saved params + optimizer state.
+    tr2 = Trainer(tcfg)
+    next_epoch = tr2.load_resume_state()
+    assert next_epoch == 4  # saved at epoch 3 (the last multiple of 2)
+    import jax
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(tr2.params),
+        jax.tree_util.tree_leaves(tr.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Continuing from the restored state trains without error.
+    tr2.tcfg = tcfg
+    result = tr2.train(start_epoch=next_epoch)  # no epochs left -> no-op
+    assert result["history"] == []
