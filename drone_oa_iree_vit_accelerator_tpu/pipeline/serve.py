@@ -160,10 +160,25 @@ class ServingEngine:
         params: dict | None = None,
         int_params: dict | None = None,
         path: str = "pallas",
+        checkpoint_dir: str | None = None,
     ):
         self.cfg = cfg
         if params is None:
             params = M.init_params(cfg, jax.random.PRNGKey(0))
+            if checkpoint_dir is not None:
+                from ..models import params_io
+                import pathlib
+
+                ckpt = pathlib.Path(checkpoint_dir)
+                if (ckpt / "model_float.npz").exists():
+                    params = params_io.load_params(
+                        str(ckpt / "model_float.npz"), params
+                    )
+                    if int_params is None and (ckpt / "model_int8.npz").exists():
+                        int_params = params_io.load_params(
+                            str(ckpt / "model_int8.npz"),
+                            _calibrate_random(cfg, params),
+                        )
         if int_params is None:
             int_params = _calibrate_random(cfg, params)
         self.params = params
@@ -273,13 +288,13 @@ def _calibrate_random(cfg: ModelConfig, params: dict) -> dict:
     return jax.jit(QZ.convert_model, static_argnums=2)(params, obs, cfg.H)
 
 
-def _demo(n_frames: int = 50, port: int = 10001) -> None:
+def _demo(n_frames: int = 50, port: int = 10001, checkpoint_dir=None) -> None:
     """Loopback round-trip demo: spin up the server in a thread, drive it
     with synthetic frames through a real UDP socket, print latency."""
     import socket
     import threading
 
-    engine = ServingEngine()
+    engine = ServingEngine(checkpoint_dir=checkpoint_dir)
     print("compiling serving step...")
     engine.warmup()  # compile before opening the socket (slow on axon)
     stop = ctypes.c_int(0)
@@ -320,11 +335,15 @@ if __name__ == "__main__":
         "--backend", default=None,
         help="force a jax backend (e.g. cpu) before any device use",
     )
+    ap.add_argument(
+        "--checkpoints", default="checkpoints",
+        help="directory with model_float.npz / model_int8.npz (optional)",
+    )
     args = ap.parse_args()
     if args.backend:
         jax.config.update("jax_platforms", args.backend)
     if args.demo:
-        _demo(args.frames, args.port)
+        _demo(args.frames, args.port, checkpoint_dir=args.checkpoints)
     else:
         print(f"serving on UDP :{args.port} (ctrl-c to stop)")
-        serve_udp(ServingEngine(), args.port)
+        serve_udp(ServingEngine(checkpoint_dir=args.checkpoints), args.port)
