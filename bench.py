@@ -70,29 +70,19 @@ def main() -> None:
     key = jax.random.PRNGKey(0)
     params = M.init_params(CFG, key)
 
-    @jax.jit
-    def calibrate(params, obs, x):
-        attn_fn, ffn_fn, collect = QZ.qat_block_fns(params, obs, CFG.H)
-        for i in range(CFG.num_layers):
-            attn_fn(i, x)
-            ffn_fn(i, x)
-        return collect()
-
-    obs = calibrate(
-        params,
-        QZ.QATObservers.init(CFG.num_layers),
-        0.5 * jax.random.normal(key, (2, CFG.S, CFG.E)),
-    )
-    int_params = jax.jit(QZ.convert_model, static_argnums=2)(params, obs, CFG.H)
-
-    # Prefer the trained demo checkpoints when present (real QAT scales).
+    # Load the trained float checkpoint FIRST so the fallback calibration
+    # below derives int8 scales/weights from the weights actually being
+    # benchmarked (not from the random init).
     ckpt_dir = pathlib.Path(__file__).parent / "checkpoints"
     if (ckpt_dir / "model_float.npz").exists():
         params = params_io.load_params(str(ckpt_dir / "model_float.npz"), params)
-        if (ckpt_dir / "model_int8.npz").exists():
-            int_params = params_io.load_params(
-                str(ckpt_dir / "model_int8.npz"), int_params
-            )
+
+    frames_cal = jax.random.randint(key, (8, 1, 60, 90), 0, 256, jnp.uint8)
+    int_params, _ = QZ.calibrate_ptq(CFG, params, frames_cal)
+    if (ckpt_dir / "model_int8.npz").exists():
+        int_params = params_io.load_params(
+            str(ckpt_dir / "model_int8.npz"), int_params
+        )
 
     def make_step(kind):
         if kind == "pallas":

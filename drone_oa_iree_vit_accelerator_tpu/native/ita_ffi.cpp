@@ -29,7 +29,10 @@ namespace {
 inline int8_t requant(int64_t acc, int32_t mult, int32_t shift) {
   int64_t prod = acc * static_cast<int64_t>(mult);
   if (shift > 0) prod += int64_t{1} << (shift - 1);
-  int64_t out = prod >> std::min(shift, 62);
+  // Clamp shift to [0, 62]: a negative shift (degenerate scale >= 2^bits)
+  // would be UB in C++; ops/quant.requant clips to [0, 31] on int32 —
+  // identical results wherever |prod| < 2^31 (all supported configs).
+  int64_t out = prod >> std::clamp(shift, 0, 62);
   return static_cast<int8_t>(std::clamp<int64_t>(out, -128, 127));
 }
 

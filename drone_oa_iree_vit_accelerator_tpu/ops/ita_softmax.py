@@ -46,6 +46,13 @@ def ita_integer_softmax(x_int: jax.Array, axis: int = -1) -> jax.Array:
     # this naturally; bounded int32 shifts need explicit masking).
     exp_num = jnp.where(shift > _B, 0, (2**_B) >> jnp.minimum(shift, _B))
     denom = jnp.maximum(jnp.sum(exp_num, axis=axis, keepdims=True), 1)
+    # Deliberate deviation from the torch reference: the reciprocal here is
+    # EXACT integer floor division, while reference ITA_softmax.py:60
+    # divides in float32 then floors — f32 rounding of (255*2^16)/denom can
+    # cross an integer boundary and land 1 LSB high for some denominators.
+    # The hardware's serial divider is exact, so exact integer division is
+    # the bit-parity contract this framework targets; parity with the
+    # torch float path is within 1 LSB.
     inv = ((2**_B - 1) * (2**16)) // denom  # floor division, fits in int32
     out = (exp_num * inv) >> 16  # floor(exp * inv / 2**16)
     return out.astype(jnp.uint8)

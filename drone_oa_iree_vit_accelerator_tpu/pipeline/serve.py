@@ -170,15 +170,24 @@ class ServingEngine:
                 import pathlib
 
                 ckpt = pathlib.Path(checkpoint_dir)
-                if (ckpt / "model_float.npz").exists():
-                    params = params_io.load_params(
-                        str(ckpt / "model_float.npz"), params
+                if not (ckpt / "model_float.npz").exists():
+                    # Serving an untrained (random-init) policy's flight
+                    # commands silently would be dangerous; demand either a
+                    # real checkpoint or an explicit params=... opt-in.
+                    raise FileNotFoundError(
+                        f"checkpoint_dir={checkpoint_dir!r} has no "
+                        "model_float.npz — refusing to serve random-init "
+                        "weights; pass checkpoint_dir=None (and params=...) "
+                        "to opt in explicitly"
                     )
-                    if int_params is None and (ckpt / "model_int8.npz").exists():
-                        int_params = params_io.load_params(
-                            str(ckpt / "model_int8.npz"),
-                            _calibrate_random(cfg, params),
-                        )
+                params = params_io.load_params(
+                    str(ckpt / "model_float.npz"), params
+                )
+                if int_params is None and (ckpt / "model_int8.npz").exists():
+                    int_params = params_io.load_params(
+                        str(ckpt / "model_int8.npz"),
+                        _calibrate_random(cfg, params),
+                    )
         if int_params is None:
             int_params = _calibrate_random(cfg, params)
         self.params = params
@@ -269,23 +278,16 @@ def serve_udp(
 
 
 def _calibrate_random(cfg: ModelConfig, params: dict) -> dict:
-    """Calibrate observers on random activations and convert (used when no
-    trained checkpoint is supplied; real deployments load trained scales)."""
-
-    @jax.jit
-    def calibrate(params, obs, x):
-        attn_fn, ffn_fn, collect = QZ.qat_block_fns(params, obs, cfg.H)
-        for i in range(cfg.num_layers):
-            attn_fn(i, x)
-            ffn_fn(i, x)
-        return collect()
-
-    obs = calibrate(
-        params,
-        QZ.QATObservers.init(cfg.num_layers),
-        0.5 * jax.random.normal(jax.random.PRNGKey(1), (2, cfg.S, cfg.E)),
+    """Calibrate observers on random frames through the REAL forward pass
+    and convert (used when no int8 checkpoint is supplied; real deployments
+    load trained scales). Running the full model — rather than feeding one
+    raw tensor to each block's observers — threads activations correctly:
+    the FFN observers see attention output, layer i>0 sees layer i-1."""
+    frames = jax.random.randint(
+        jax.random.PRNGKey(1), (8, 1, 60, 90), 0, 256, jnp.uint8
     )
-    return jax.jit(QZ.convert_model, static_argnums=2)(params, obs, cfg.H)
+    int_params, _ = QZ.calibrate_ptq(cfg, params, frames)
+    return int_params
 
 
 def _demo(n_frames: int = 50, port: int = 10001, checkpoint_dir=None) -> None:
@@ -337,13 +339,35 @@ if __name__ == "__main__":
     )
     ap.add_argument(
         "--checkpoints", default="checkpoints",
-        help="directory with model_float.npz / model_int8.npz (optional)",
+        help="directory with model_float.npz / model_int8.npz",
+    )
+    ap.add_argument(
+        "--random-init", action="store_true",
+        help="explicitly allow serving random-init weights (demo/testing)",
     )
     args = ap.parse_args()
     if args.backend:
         jax.config.update("jax_platforms", args.backend)
+
+    import pathlib
+    import sys
+
+    ckpt_dir = args.checkpoints
+    if not pathlib.Path(ckpt_dir, "model_float.npz").exists():
+        if args.demo or args.random_init:
+            print(
+                f"WARNING: no model_float.npz in {ckpt_dir!r} — serving "
+                "RANDOM-INIT weights (untrained policy, demo only)",
+                file=sys.stderr,
+            )
+            ckpt_dir = None
+        else:
+            sys.exit(
+                f"error: no model_float.npz in {ckpt_dir!r}; train a policy "
+                "first (scripts/train_demo_policy.py) or pass --random-init"
+            )
     if args.demo:
-        _demo(args.frames, args.port, checkpoint_dir=args.checkpoints)
+        _demo(args.frames, args.port, checkpoint_dir=ckpt_dir)
     else:
         print(f"serving on UDP :{args.port} (ctrl-c to stop)")
-        serve_udp(ServingEngine(checkpoint_dir=args.checkpoints), args.port)
+        serve_udp(ServingEngine(checkpoint_dir=ckpt_dir), args.port)
