@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from .ita_softmax import ita_integer_softmax
+from .ita_softmax import ita_integer_softmax, ita_integer_softmax_streaming
 from .quant import dequantize, quantize, requant
 
 
@@ -133,12 +133,21 @@ def _merge_heads(x: jax.Array) -> jax.Array:
 
 
 def ita_attention_int8(
-    x_i8: jax.Array, p: IntAttentionParams, collect_stages: bool = False
+    x_i8: jax.Array,
+    p: IntAttentionParams,
+    collect_stages: bool = False,
+    softmax_mode: str = "onepass",
 ) -> tuple[jax.Array, dict[str, jax.Array]]:
     """The full ITA integer attention pipeline on one sequence.
 
     x_i8: int8 (S, E) quantized input. Returns (int8 (S, E) output,
     stage dict named after PyITA result attributes).
+
+    ``softmax_mode``: 'onepass' (global-max integer softmax, the torch QAT
+    reference semantics) or 'streaming' (the hardware's partial softmax —
+    PyITA's default, step4_QK(no_partial_softmax=False); reference
+    tests/export_and_validation_W_B.py:527 verifies the two agree to
+    MAE <= 1).
     """
     qp = int_linear(x_i8, p.q)  # (S, P)
     kp = int_linear(x_i8, p.k)
@@ -158,7 +167,12 @@ def ita_attention_int8(
     a_i8 = requant(logits, p.qk_mult, p.qk_shift, p.qk_add)
 
     # Integer softmax: int8 logits -> uint8 probabilities (scale 1/255).
-    a_u8 = ita_integer_softmax(a_i8.astype(jnp.int32), axis=-1)
+    if softmax_mode == "streaming":
+        a_u8 = ita_integer_softmax_streaming(a_i8.astype(jnp.int32), axis=-1)
+    elif softmax_mode == "onepass":
+        a_u8 = ita_integer_softmax(a_i8.astype(jnp.int32), axis=-1)
+    else:
+        raise ValueError(f"unknown softmax mode {softmax_mode!r}")
 
     # Context: uint8 x int8 -> i32 (the mixed-sign matmul torch could not
     # do natively, reference tests/export_and_validation_W_B.py:120-151),
@@ -205,14 +219,16 @@ def ita_ffn_int8(
     return ff2, stages
 
 
-def ita_attention_f32(x: jax.Array, p: IntAttentionParams) -> jax.Array:
+def ita_attention_f32(
+    x: jax.Array, p: IntAttentionParams, softmax_mode: str = "onepass"
+) -> jax.Array:
     """Float-boundary wrapper: quantize -> integer attention -> dequantize.
 
     This is the QuantStub/DeQuantStub bracket of the reference's QAT model
     (models/ITA/QAT/layers.py:101-127) collapsed into the jit.
     """
     x_i8 = quantize(x, p.s_in)
-    out, _ = ita_attention_int8(x_i8, p)
+    out, _ = ita_attention_int8(x_i8, p, softmax_mode=softmax_mode)
     return dequantize(out, p.s_out)
 
 

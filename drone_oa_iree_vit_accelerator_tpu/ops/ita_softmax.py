@@ -58,42 +58,127 @@ def ita_integer_softmax(x_int: jax.Array, axis: int = -1) -> jax.Array:
     return out.astype(jnp.uint8)
 
 
-def _fakequant_forward(x: jax.Array, axis: int) -> jax.Array:
+ITA_N = 16  # PE group width of the hardware's streaming softmax
+
+
+def _exp2_shift_i32(diff: jax.Array) -> jax.Array:
+    """2**B >> diff (int32, saturating to 0 beyond B); eps_max == 1.0 so the
+    reference's floor(diff*eps_max + 0.5) is the identity on int diffs."""
+    return jnp.where(diff > _B, 0, (2**_B) >> jnp.minimum(diff, _B))
+
+
+def ita_integer_softmax_streaming(
+    x_int: jax.Array, axis: int = -1, width: int = ITA_N
+) -> jax.Array:
+    """ITA's streaming ("partial") integer softmax — the hardware's default
+    mode (PyITA step4_QK(no_partial_softmax=False) -> A_partial_softmax;
+    the reference verifies against it, tests/export_and_validation_W_B.py:527).
+
+    The row is consumed in ``width``-column groups with a running max and
+    an accumulated denominator that is renormalized by a right shift
+    whenever the max grows (ITA paper arXiv:2307.03493 section III). The
+    shifts floor away low bits of earlier groups' contributions, so the
+    result differs from ``ita_integer_softmax`` by a bounded amount
+    (exactly 0 whenever the global max lies in the first group).
+
+    The group recurrence is sequential by definition; with S=128 and
+    width=16 it is 8 cheap unrolled steps on (..., 1) slices — everything
+    else is vectorized. Bit-exact vs tests/ita_oracle.ita_partial_softmax.
+    """
+    if axis not in (-1, x_int.ndim - 1):
+        x_moved = jnp.moveaxis(x_int, axis, -1)
+        return jnp.moveaxis(
+            ita_integer_softmax_streaming(x_moved, -1, width), -1, axis
+        )
+    x = x_int.astype(jnp.int32)
+    n = x.shape[-1]
+    if n % width != 0:
+        raise ValueError(f"sequence length {n} not a multiple of {width}")
+    groups = n // width
+
+    cur_max = None
+    cur_sum = None
+    for g in range(groups):
+        grp = x[..., g * width : (g + 1) * width]
+        gmax = jnp.max(grp, axis=-1)
+        if cur_max is None:
+            cur_max, cur_sum = gmax, jnp.zeros_like(gmax)
+        else:
+            new_max = jnp.maximum(cur_max, gmax)
+            # Renormalize the accumulated sum to the new max. The sum is
+            # <= n * 2**B = 2**15, so clipping the shift at 31 is exact.
+            cur_sum = cur_sum >> jnp.minimum(new_max - cur_max, 31)
+            cur_max = new_max
+        cur_sum = cur_sum + jnp.sum(
+            _exp2_shift_i32(cur_max[..., None] - grp), axis=-1
+        )
+
+    denom = jnp.maximum(cur_sum, 1)[..., None]
+    inv = ((2**_B - 1) * (2**16)) // denom
+    exp_num = _exp2_shift_i32(cur_max[..., None] - x)
+    return ((exp_num * inv) >> 16).astype(jnp.uint8)
+
+
+def _fakequant_forward(x: jax.Array, axis: int, mode: str) -> jax.Array:
     # Simulate the quantization of incoming float logits with a dynamic
     # per-tensor scale (amax over the WHOLE tensor, reference
     # ITA_softmax.py:41-44 uses torch.amax with no dim).
     logit_scale = jnp.maximum(jnp.max(jnp.abs(x)) / 127.0, 1e-8)
     x_int = jnp.round(x / logit_scale).astype(jnp.int32)
-    out_u8 = ita_integer_softmax(x_int, axis=axis)
+    if mode == "streaming":
+        out_u8 = ita_integer_softmax_streaming(x_int, axis=axis)
+    else:
+        out_u8 = ita_integer_softmax(x_int, axis=axis)
     return (out_u8.astype(jnp.float32) - SOFTMAX_OUT_ZP) * SOFTMAX_OUT_SCALE
-
-
-@jax.custom_vjp
-def _ita_softmax_fakequant_lastdim(x: jax.Array) -> jax.Array:
-    return _fakequant_forward(x, axis=-1)
-
-
-def _fq_fwd(x):
-    return _fakequant_forward(x, axis=-1), x
 
 
 def _fq_bwd(x, g):
     # Surrogate gradient: gradient of the exact float softmax at x
-    # (reference ITA_softmax.py:80-97).
+    # (reference ITA_softmax.py:80-97) — same surrogate for both integer
+    # modes (the hardware mode only changes the forward approximation).
     s = jax.nn.softmax(x, axis=-1)
     dx = s * (g - jnp.sum(g * s, axis=-1, keepdims=True))
     return (dx,)
 
 
-_ita_softmax_fakequant_lastdim.defvjp(_fq_fwd, _fq_bwd)
+@jax.custom_vjp
+def _ita_softmax_fakequant_lastdim(x: jax.Array) -> jax.Array:
+    return _fakequant_forward(x, axis=-1, mode="onepass")
 
 
-def ita_softmax_fakequant(x: jax.Array, axis: int = -1) -> jax.Array:
-    """QAT-time integer softmax simulation with float-softmax surrogate grad."""
+_ita_softmax_fakequant_lastdim.defvjp(
+    lambda x: (_fakequant_forward(x, -1, "onepass"), x), _fq_bwd
+)
+
+
+@jax.custom_vjp
+def _ita_softmax_fakequant_lastdim_streaming(x: jax.Array) -> jax.Array:
+    return _fakequant_forward(x, axis=-1, mode="streaming")
+
+
+_ita_softmax_fakequant_lastdim_streaming.defvjp(
+    lambda x: (_fakequant_forward(x, -1, "streaming"), x), _fq_bwd
+)
+
+
+def ita_softmax_fakequant(
+    x: jax.Array, axis: int = -1, mode: str = "onepass"
+) -> jax.Array:
+    """QAT-time integer softmax simulation with float-softmax surrogate grad.
+
+    mode='onepass' simulates the global-max softmax (the torch QAT
+    reference); mode='streaming' simulates the hardware's partial softmax.
+    """
+    if mode == "streaming":
+        fn = _ita_softmax_fakequant_lastdim_streaming
+    elif mode == "onepass":
+        fn = _ita_softmax_fakequant_lastdim
+    else:
+        raise ValueError(f"unknown softmax mode {mode!r}")
     if axis in (-1, x.ndim - 1):
-        return _ita_softmax_fakequant_lastdim(x)
+        return fn(x)
     x_moved = jnp.moveaxis(x, axis, -1)
-    return jnp.moveaxis(_ita_softmax_fakequant_lastdim(x_moved), -1, axis)
+    return jnp.moveaxis(fn(x_moved), -1, axis)
 
 
 def ita_partial_softmax(logits: jax.Array, k: int = 8) -> jax.Array:

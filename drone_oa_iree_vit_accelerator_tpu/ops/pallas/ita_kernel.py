@@ -127,6 +127,37 @@ def _integer_softmax(a_i32: jax.Array) -> jax.Array:
     return (exp * inv) >> 16  # uint8 range, kept i32 for the AV matmul
 
 
+def _integer_softmax_streaming(a_i32: jax.Array, width: int = 16) -> jax.Array:
+    """ITA streaming (partial) softmax — the hardware's default mode.
+
+    Mirrors ops/ita_softmax.ita_integer_softmax_streaming bit-for-bit:
+    the denominator is accumulated over ITA_N=16-column groups with a
+    running max, renormalized by >> whenever the max grows; numerators
+    use the final global max. 8 unrolled group steps on (S, 1) slices."""
+    n = a_i32.shape[-1]
+    cur_max = None
+    cur_sum = None
+    for g in range(n // width):
+        grp = a_i32[:, g * width : (g + 1) * width]
+        gmax = jnp.max(grp, axis=-1, keepdims=True)
+        if cur_max is None:
+            cur_max, cur_sum = gmax, jnp.zeros_like(gmax)
+        else:
+            new_max = jnp.maximum(cur_max, gmax)
+            cur_sum = cur_sum >> jnp.minimum(new_max - cur_max, 31)
+            cur_max = new_max
+        d = cur_max - grp
+        cur_sum = cur_sum + jnp.sum(
+            jnp.where(d > 8, 0, 256 >> jnp.minimum(d, 8)),
+            axis=-1, keepdims=True,
+        )
+    denom = jnp.maximum(cur_sum, 1)
+    inv = _floor_div_u25(_SOFTMAX_NUM, denom)
+    diff = cur_max - a_i32
+    exp = jnp.where(diff > 8, 0, 256 >> jnp.minimum(diff, 8))
+    return (exp * inv) >> 16
+
+
 def _int_dot(a, b):
     """int8 x int8 (or u8-range i32 x int8) matmul with i32 accumulation
     on the MXU."""
@@ -142,6 +173,7 @@ def _layer_norm(x, g, b, eps=1e-5):
 
 
 def _encoder_block_kernel(
+    softmax_mode,  # static (functools.partial): 'onepass' | 'streaming'
     iscal_ref,  # SMEM (1, 20) i32
     fscal_ref,  # SMEM (1, 4) f32
     x_ref,      # VMEM (1, S, E) f32
@@ -179,7 +211,10 @@ def _encoder_block_kernel(
     )
     a_i8 = _requant(logits, iscal_ref[0, _IQK_MULT], iscal_ref[0, _IQK_SHIFT])
 
-    a_u8 = _integer_softmax(a_i8)  # (S,S) i32 in [0,255]
+    if softmax_mode == "streaming":
+        a_u8 = _integer_softmax_streaming(a_i8)  # (S,S) i32 in [0,255]
+    else:
+        a_u8 = _integer_softmax(a_i8)
 
     # AV matmul: the uint8 probabilities don't fit int8 and Mosaic has no
     # mixed u8/i32 x i8 MXU path. Exact offset decomposition instead:
@@ -219,7 +254,7 @@ def _encoder_block_kernel(
     out_ref[0] = _layer_norm(h + ffn_f, ln2_g_ref[0], ln2_b_ref[0])
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "softmax_mode"))
 def ita_encoder_block(
     x: jax.Array,  # (B, S, E) f32
     attn: IntAttentionParams,
@@ -227,14 +262,18 @@ def ita_encoder_block(
     ln1: dict,
     ln2: dict,
     interpret: bool = False,
+    softmax_mode: str = "onepass",
 ) -> jax.Array:
     """One fused quantized encoder layer on TPU (B small; grid over B).
 
     Numerically identical to:
         h = LN(x + ita_attention_f32(x, attn)); LN(h + ita_ffn_f32(h, ffn))
     (ops/integer_ita.py golden path; H=1 — multi-head layouts fall back to
-    the golden model upstream).
+    the golden model upstream). ``softmax_mode='streaming'`` selects the
+    hardware's partial softmax (matches the golden path's same flag).
     """
+    if softmax_mode not in ("onepass", "streaming"):
+        raise ValueError(f"unknown softmax mode {softmax_mode!r}")
     if attn.num_heads != 1:
         raise NotImplementedError(
             "the fused encoder kernel implements H=1 (every reference "
@@ -256,7 +295,7 @@ def ita_encoder_block(
     row = lambda n: vmem_const((1, n))
 
     return pl.pallas_call(
-        _encoder_block_kernel,
+        functools.partial(_encoder_block_kernel, softmax_mode),
         grid=(b,),
         in_specs=[
             smem((1, N_ISCALARS)),

@@ -14,10 +14,11 @@ from .qat import (
 )
 
 
-def int8_block_fns(int_params: dict):
+def int8_block_fns(int_params: dict, softmax_mode: str = "onepass"):
     """Build (attn_fn, ffn_fn) running the converted integer pipeline
     (quantize -> int8 golden path -> dequantize) inside the model forward;
-    vmapped over the batch axis.
+    vmapped over the batch axis. ``softmax_mode``: 'onepass' or
+    'streaming' (the hardware's partial softmax).
 
     IMPORTANT: call this *inside* your jitted function with int_params
     passed as a jit argument. Closing a jit over concrete device arrays
@@ -26,7 +27,11 @@ def int8_block_fns(int_params: dict):
     """
 
     def attn_fn(i, x):
-        return jax.vmap(lambda s: ita_attention_f32(s, int_params["attn"][i]))(x)
+        return jax.vmap(
+            lambda s: ita_attention_f32(
+                s, int_params["attn"][i], softmax_mode=softmax_mode
+            )
+        )(x)
 
     def ffn_fn(i, x):
         return jax.vmap(lambda s: ita_ffn_f32(s, int_params["ffn"][i]))(x)
@@ -36,17 +41,18 @@ def int8_block_fns(int_params: dict):
 
 def int8_forward(
     cfg, params, int_params, frame, vel, quat, state=None,
-    quantize_ffn=True, **kw
+    quantize_ffn=True, softmax_mode="onepass", **kw
 ):
     """Full-model forward with the integer attention/FFN path.
 
     jit this function directly (params AND int_params as arguments).
     ``quantize_ffn=False`` reproduces the reference's QAT_only_attn
     ablation (models/ITA_single_layer_upsample_shuffle/QAT_only_attn/
-    model.py: attention int8, FFN float)."""
+    model.py: attention int8, FFN float). ``softmax_mode='streaming'``
+    runs the hardware's partial softmax (PyITA default)."""
     from ..models import vit_lstm as M
 
-    attn_fn, ffn_fn = int8_block_fns(int_params)
+    attn_fn, ffn_fn = int8_block_fns(int_params, softmax_mode=softmax_mode)
     if not quantize_ffn:
         ffn_fn = None  # falls back to the float FFN inside forward
     return M.forward(
@@ -55,13 +61,15 @@ def int8_forward(
 
 
 def pallas_forward(
-    cfg, params, int_params, frame, vel, quat, state=None, interpret=False, **kw
+    cfg, params, int_params, frame, vel, quat, state=None, interpret=False,
+    softmax_mode="onepass", **kw
 ):
     """Full-model forward with the fused Pallas encoder kernel (the
     TPU-accelerator path; one pallas_call per encoder layer keeps the
     whole quantized region in VMEM). jit with params/int_params as args.
     ``interpret=True`` runs the kernel in the Pallas interpreter (CPU
-    testing — the analog of the reference's x86 dummy-dispatch build)."""
+    testing — the analog of the reference's x86 dummy-dispatch build).
+    ``softmax_mode='streaming'`` runs the hardware partial softmax."""
     from ..models import vit_lstm as M
     from ..ops.pallas.ita_kernel import ita_encoder_block
 
@@ -76,6 +84,7 @@ def pallas_forward(
                 blk["ln1"],
                 blk["ln2"],
                 interpret=interpret,
+                softmax_mode=softmax_mode,
             )
         return x
 

@@ -113,10 +113,13 @@ def attention_qat(
     obs: AttnObservers,
     num_heads: int,
     update_obs: bool = True,
+    softmax_mode: str = "onepass",
 ) -> tuple[jax.Array, AttnObservers]:
     """Fake-quant ITA attention on (B, S, E); mirrors reference
     models/ITA/QAT/layers.py:101-127 (no logit scaling, integer-sim
-    softmax, quantized matmuls)."""
+    softmax, quantized matmuls). ``softmax_mode='streaming'`` trains
+    against the hardware's partial-softmax forward instead of the
+    global-max one (same float-softmax surrogate gradient)."""
     b, s, _ = x.shape
     x_fq, in_st = _observe_fq(x, obs.in_, update_obs)
 
@@ -136,7 +139,7 @@ def attention_qat(
     logits = jnp.einsum("bhsd,bhtd->bhst", heads(q_fq), heads(k_fq))
     logits_fq, qk_st = _observe_fq(logits, obs.qk, update_obs)
 
-    probs = ita_softmax_fakequant(logits_fq)  # fixed scale 1/255 out
+    probs = ita_softmax_fakequant(logits_fq, mode=softmax_mode)  # scale 1/255 out
 
     ctx = jnp.einsum("bhst,bhtd->bhsd", probs, heads(v_fq))
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, proj)
@@ -169,7 +172,8 @@ def ffn_qat(
 
 
 def qat_block_fns(params: dict, observers: QATObservers, num_heads: int,
-                  update_obs: bool = True, quantize_ffn: bool = True):
+                  update_obs: bool = True, quantize_ffn: bool = True,
+                  softmax_mode: str = "onepass"):
     """Build (attn_fn, ffn_fn, collect) for models.vit_lstm.forward.
 
     Because BlockFn is (i, x) -> y while QAT must also return updated
@@ -183,7 +187,8 @@ def qat_block_fns(params: dict, observers: QATObservers, num_heads: int,
 
     def attn_fn(i, x):
         y, st = attention_qat(
-            x, params["blocks"][i]["attn"], observers.attn[i], num_heads, update_obs
+            x, params["blocks"][i]["attn"], observers.attn[i], num_heads,
+            update_obs, softmax_mode=softmax_mode,
         )
         new_attn[i] = st
         return y
