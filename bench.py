@@ -1,94 +1,84 @@
-"""Benchmark: camera->command serving on one chip (flagship int8 model).
+"""Benchmark: camera->command serving on one chip (flagship model).
 
-Paths measured, each as ONE jitted program (fused preprocess + model):
+Methodology (round 2): all performance numbers are TRUE DEVICE TIMES from
+jax.profiler device traces (utils/device_timing.py) — on this host the
+relay transport acks block_until_ready before the chip finishes, so
+host-observed wall time is not a valid latency measurement (measured:
+chained 4096^3 bf16 matmuls "completing" at an implied 769 TFLOP/s on a
+197 TFLOP/s chip). Round 1's 12.5M frames/s headline was such an
+artifact; the honest numbers below are ~30x smaller and carry an MFU
+cross-check (VERDICT r1 items 2/8/10).
 
-- pallas : deployed configuration — the fused Pallas ITA encoder kernel
-           (int8 MXU matmuls, requant shifts, integer softmax, residual+LN
-           all in VMEM) inside the full model;
-- int8   : same integer arithmetic through plain XLA ops (golden path);
-- f32    : float model.
+Paths, each ONE jitted program (fused preprocess + model):
+- pallas      : fused Pallas int8 ITA encoder kernel inside the model
+- pallas_bf16 : same + bf16 float glue (the deployment analog of the
+                reference's --iree-input-demote-f32-to-f16)
+- int8        : same integer arithmetic through plain XLA ops
+- f32         : float model
 
-Headline metric = batch-1 pallas frames/s (latency-oriented, like the
-reference's serve loop); batched throughput is also reported
-(frames/s/chip at the best measured batch).
+Headline = frames/s/chip at the best measured (path, batch); batch-1
+device latency reported alongside (reference-style serve loop). MFU uses
+the XLA-reported FLOPs of the f32 program (the model's canonical work;
+integer-path multiply-accumulates counted identically) against the v5e
+bf16 peak of 197 TFLOP/s.
 
 Prints ONE JSON line. Baseline: the reference publishes no end-to-end
 fps/latency (BASELINE.md); the north star is >=10k frames/s/chip
 (BASELINE.json), so vs_baseline = headline / 10_000.
-
-NOTE: no device-to-host transfer before the timing loops (a single D2H
-degrades dispatch ~1000x on axon); calibration + conversion run jitted.
 """
 
 from __future__ import annotations
 
 import json
-import time
+import pathlib
 
 import jax
 import jax.numpy as jnp
 
 NORTH_STAR_FPS = 10_000.0
-
-
-def _bench(step, frames, vel, quat, state, iters=300):
-    """Latency over ``iters`` calls cycling through DISTINCT input frames.
-
-    Identical repeat calls can be short-circuited by caching layers
-    between the host and the chip (measured: a 1.1-TFLOP program
-    "completing" in 0.07 ms when re-invoked with identical inputs), so
-    every iteration must present fresh data — as real serving does.
-    """
-    k = len(frames)
-    cmd, st = step(frames[0], vel, quat, state)
-    jax.block_until_ready(cmd)
-    lat = []
-    for i in range(iters):
-        t0 = time.perf_counter()
-        cmd, st = step(frames[(i + 1) % k], vel, quat, st)
-        jax.block_until_ready(cmd)
-        lat.append(time.perf_counter() - t0)
-    lat.sort()
-    return (
-        lat[len(lat) // 2],
-        lat[int(len(lat) * 0.9)],
-        lat[int(len(lat) * 0.99)],
-    )
+PEAK_FLOPS = 197e12  # v5e bf16 peak (f32 matmuls run as bf16 passes)
 
 
 def main() -> None:
     from drone_oa_iree_vit_accelerator_tpu.core import (
         ITA_SINGLE_LAYER_UPSAMPLE_SHUFFLE as CFG,
     )
+    from drone_oa_iree_vit_accelerator_tpu.models import params_io
     from drone_oa_iree_vit_accelerator_tpu.models import vit_lstm as M
     from drone_oa_iree_vit_accelerator_tpu import quant as QZ
-
-    import pathlib
-
-    from drone_oa_iree_vit_accelerator_tpu.models import params_io
+    from drone_oa_iree_vit_accelerator_tpu.utils.device_timing import (
+        device_time_per_call,
+    )
 
     key = jax.random.PRNGKey(0)
     params = M.init_params(CFG, key)
 
     # Load the trained float checkpoint FIRST so the fallback calibration
-    # below derives int8 scales/weights from the weights actually being
-    # benchmarked (not from the random init).
+    # derives int8 scales/weights from the weights actually benchmarked.
     ckpt_dir = pathlib.Path(__file__).parent / "checkpoints"
     if (ckpt_dir / "model_float.npz").exists():
         params = params_io.load_params(str(ckpt_dir / "model_float.npz"), params)
-
     frames_cal = jax.random.randint(key, (8, 1, 60, 90), 0, 256, jnp.uint8)
     int_params, _ = QZ.calibrate_ptq(CFG, params, frames_cal)
     if (ckpt_dir / "model_int8.npz").exists():
         int_params = params_io.load_params(
             str(ckpt_dir / "model_int8.npz"), int_params
         )
+    params = M.freeze_for_inference(CFG, params)
 
     def make_step(kind):
         if kind == "pallas":
             fwd = lambda p, ip, f, v, q, s: QZ.pallas_forward(CFG, p, ip, f, v, q, s)
+        elif kind == "pallas_bf16":
+            fwd = lambda p, ip, f, v, q, s: QZ.pallas_forward(
+                CFG, p, ip, f, v, q, s, glue_dtype=jnp.bfloat16
+            )
         elif kind == "int8":
             fwd = lambda p, ip, f, v, q, s: QZ.int8_forward(CFG, p, ip, f, v, q, s)
+        elif kind == "int8_bf16":
+            fwd = lambda p, ip, f, v, q, s: QZ.int8_forward(
+                CFG, p, ip, f, v, q, s, glue_dtype=jnp.bfloat16
+            )
         else:
             fwd = lambda p, ip, f, v, q, s: M.forward(CFG, p, f, v, q, s)
 
@@ -97,60 +87,68 @@ def main() -> None:
             frame = frame_u8.astype(jnp.float32) / 255.0
             return fwd(p, ip, frame, vel, quat, state)
 
-        return lambda f, v, q, s: step(params, int_params, f, v, q, s)
+        return step
 
-    def inputs(batch, n_distinct=16):
+    paths = ("f32", "int8", "int8_bf16", "pallas", "pallas_bf16")
+    results: dict[str, dict] = {}
+    flops_per_frame = None
+    for batch, ncalls in ((1, 80), (1024, 12)):
+        vel = jnp.ones((batch, 1), jnp.float32)
+        quat = jnp.tile(jnp.asarray([[1.0, 0, 0, 0]], jnp.float32), (batch, 1))
+        state = M.zero_state(CFG, batch)
+        # Distinct frame per call: the relay memoizes identical re-invocations.
         frames = [
             jax.random.randint(
                 jax.random.PRNGKey(i), (batch, 1, 60, 90), 0, 256, jnp.uint8
             )
-            for i in range(n_distinct)
+            for i in range(ncalls + 1)
         ]
         jax.block_until_ready(frames)
-        return (
-            frames,
-            jnp.ones((batch, 1), jnp.float32),
-            jnp.tile(jnp.asarray([[1.0, 0, 0, 0]], jnp.float32), (batch, 1)),
-            M.zero_state(CFG, batch),
-        )
+        for kind in paths:
+            step = make_step(kind)
+            args = [
+                (params, int_params, frames[i + 1], vel, quat, state)
+                for i in range(ncalls)
+            ]
+            warm = (params, int_params, frames[0], vel, quat, state)
+            if kind == "f32" and batch == 1 and flops_per_frame is None:
+                comp = step.lower(*warm).compile()
+                flops_per_frame = comp.cost_analysis().get("flops", 0.0)
+            t = device_time_per_call(step, args, warmup_args=warm)
+            if t.n_executions < ncalls:  # trace missed tail executions
+                t = device_time_per_call(step, args, warmup_args=warm, settle_s=3.0)
+            ms = t.per_call_ms
+            results[f"{kind}_b{batch}"] = {
+                "device_ms_per_call": round(ms, 4),
+                "fps": round(batch / ms * 1e3, 1),
+                "mfu_pct": round(
+                    batch * flops_per_frame / (ms / 1e3) / PEAK_FLOPS * 100, 3
+                ),
+                "n_timed": t.n_executions,
+            }
 
-    results = {}
-    for kind in ("pallas", "int8", "f32"):
-        # One distinct frame per iteration: repeat-call short-circuiting
-        # would otherwise kick in once the LSTM state converges.
-        p50, p90, p99 = _bench(
-            make_step(kind), *inputs(1, n_distinct=301), iters=300
-        )
-        results[kind] = (p50, p90, p99)
+    best_kind, best = max(
+        ((k, v) for k, v in results.items() if k.endswith("_b1024")),
+        key=lambda kv: kv[1]["fps"],
+    )
+    b1 = {k: v for k, v in results.items() if k.endswith("_b1")}
+    best_b1_kind, best_b1 = max(b1.items(), key=lambda kv: kv[1]["fps"])
 
-    # Batched throughput on the pallas path.
-    best_tp = 0.0
-    best_batch = 1
-    for batch in (64, 256, 1024):
-        f, v, q, s = inputs(batch, n_distinct=31)
-        p50, _, _ = _bench(make_step("pallas"), f, v, q, s, iters=30)
-        tp = batch / p50
-        if tp > best_tp:
-            best_tp, best_batch = tp, batch
-
-    p50_i, p90_i, p99_i = results["pallas"]
     out = {
-        # North star (BASELINE.json): frames/sec/chip with sub-ms
-        # camera->command latency. Throughput at the best batch is the
-        # headline; batch-1 latency (also sub-ms, reference-style serve
-        # loop) is reported alongside.
-        "metric": "frames/sec/chip (flagship int8+pallas serving)",
-        "value": round(best_tp, 1),
+        "metric": "frames/sec/chip (flagship serving, true device time)",
+        "value": best["fps"],
         "unit": "frames/s",
-        "vs_baseline": round(best_tp / NORTH_STAR_FPS, 4),
-        "throughput_batch": best_batch,
-        "batch1_fps": round(1 / p50_i, 1),
-        "pallas_p50_ms": round(p50_i * 1e3, 4),
-        "pallas_p90_ms": round(p90_i * 1e3, 4),
-        "pallas_p99_ms": round(p99_i * 1e3, 4),
-        "int8_xla_p50_ms": round(results["int8"][0] * 1e3, 4),
-        "f32_p50_ms": round(results["f32"][0] * 1e3, 4),
+        "vs_baseline": round(best["fps"] / NORTH_STAR_FPS, 4),
+        "headline_config": best_kind,
+        "headline_mfu_pct": best["mfu_pct"],
+        "batch1_best_config": best_b1_kind,
+        "batch1_fps": best_b1["fps"],
+        "batch1_device_us": round(best_b1["device_ms_per_call"] * 1e3, 2),
+        "model_flops_per_frame": flops_per_frame,
+        "paths": results,
+        "timing_source": "jax.profiler device trace (host wall-time is a relay artifact on this platform; round-1 numbers were inflated ~30x)",
         "backend": jax.default_backend(),
+        "device_kind": jax.devices()[0].device_kind,
     }
     print(json.dumps(out))
 

@@ -80,17 +80,131 @@ def spectral_norm_weight(
     return w / sigma, u, v
 
 
+def conv2d_im2col_tokens(
+    x: jax.Array, p: dict, stride: int, padding: int
+) -> tuple[jax.Array, int, int]:
+    """Conv2d as one im2col GEMM, emitting channel-LAST (B, OH*OW, Cout).
+
+    TPU-native formulation of the tokenizer conv: XLA's convolution
+    emitter, when its consumer is a custom call demanding a standard
+    layout (the Pallas encoder kernel), falls back to a degenerate
+    T(2,128) layout that ran 15x slower than the same conv in the pure-f32
+    graph. A stack of k*k strided slices + a single (OH*OW, Cin*k*k) x
+    (Cin*k*k, Cout) matmul rides the MXU, needs no layout negotiation, and
+    lands directly in the token-major layout every downstream op wants.
+    Numerically identical to conv2d up to f32 summation order.
+    """
+    b, cin, h, w = x.shape
+    cout, _, kh, kw = p["w"].shape
+    xp = jnp.pad(x, ((0, 0), (0, 0), (padding, padding), (padding, padding)))
+    oh = (h + 2 * padding - kh) // stride + 1
+    ow = (w + 2 * padding - kw) // stride + 1
+    if cin == 1:
+        # Depth-camera case: no channel axis to interleave, so the patch
+        # tensor is built channel-last directly (no 5-D transpose).
+        cols = [
+            xp[:, 0, ky : ky + stride * oh : stride, kx : kx + stride * ow : stride]
+            for ky in range(kh)
+            for kx in range(kw)
+        ]
+        patches = jnp.stack(cols, axis=-1).reshape(b, oh * ow, kh * kw)
+        wmat = p["w"].reshape(cout, kh * kw).T  # (k*k, Cout)
+    else:
+        cols = [
+            xp[:, :, ky : ky + stride * oh : stride, kx : kx + stride * ow : stride]
+            for ky in range(kh)
+            for kx in range(kw)
+        ]
+        patches = jnp.stack(cols, axis=-1)  # (B, Cin, OH, OW, k*k)
+        patches = patches.transpose(0, 2, 3, 1, 4).reshape(
+            b, oh * ow, cin * kh * kw
+        )
+        wmat = p["w"].transpose(1, 2, 3, 0).reshape(cin * kh * kw, cout)
+    y = patches @ wmat
+    if p.get("b") is not None:
+        y = y + p["b"]
+    return y, oh, ow
+
+
 def tokenizer_forward(x: jax.Array, p: dict, cfg) -> jax.Array:
     """OverlapPatchMerging: conv k7 s2 p3 -> bilinear to token grid ->
     flatten -> LayerNorm (reference models/ITA/layers.py:7-27).
 
-    x: (B, 1, H, W) -> tokens (B, S, E).
+    x: (B, 1, H, W) -> tokens (B, S, E). Uses XLA's convolution emitter —
+    an im2col-GEMM rewrite was tried and measured 80x SLOWER (strided
+    lane-dim slicing is pathological on TPU; see conv2d_im2col_tokens,
+    kept for reference/tests).
     """
     y = conv2d(x, p["conv"], stride=cfg.patch_stride, padding=cfg.patch_padding)
     y = bilinear_resize(y, cfg.token_hw, align_corners=False)
     b, c, h, w = y.shape
     tokens = y.reshape(b, c, h * w).transpose(0, 2, 1)  # (B, S, E)
     return layer_norm(tokens, p["ln"])
+
+
+def conv2d_nhwc(
+    x_nhwc: jax.Array, p: dict, stride: int = 1, padding: int = 0
+) -> jax.Array:
+    """NHWC conv (weights stored OIHW, transposed to HWIO at trace time).
+
+    Feature-last is the TPU-native conv form: the channel axis rides the
+    128 lanes. XLA reaches the same form for free-standing convs, but a
+    Pallas custom call downstream pins layouts and strands the NCHW form
+    in a T(1,128) layout 15x slower (measured); writing NHWC explicitly
+    makes the fast form unconditional.
+    """
+    y = jax.lax.conv_general_dilated(
+        x_nhwc,
+        p["w"].transpose(2, 3, 1, 0),  # OIHW -> HWIO
+        window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if p.get("b") is not None:
+        y = y + p["b"]
+    return y
+
+
+def tokenizer_forward_nhwc(x: jax.Array, p: dict, cfg) -> jax.Array:
+    """Feature-last tokenizer: (B, 1, H, W) -> tokens (B, S, E).
+
+    Same values as tokenizer_forward (token order identical — tokens are
+    spatial-major either way); the conv/resize run NHWC so the feature
+    axis stays in lanes and the result IS the (B, S, E) layout the
+    encoder consumes — no transposes, no layout negotiation around the
+    Pallas kernel. Float reduction order may differ (atol ~1e-6).
+    """
+    xn = x.transpose(0, 2, 3, 1)  # (B, H, W, 1)
+    y = conv2d_nhwc(xn, p["conv"], stride=cfg.patch_stride, padding=cfg.patch_padding)
+    th, tw = cfg.token_hw
+    b, oh, ow, c = y.shape
+    if (oh, ow) != (th, tw):
+        mw = jnp.asarray(_interp_matrix_cached(ow, tw), y.dtype)
+        mh = jnp.asarray(_interp_matrix_cached(oh, th), y.dtype)
+        y = jnp.einsum("bhwc,Ww->bhWc", y, mw)
+        y = jnp.einsum("bhWc,Hh->bHWc", y, mh)
+    tokens = y.reshape(b, th * tw, c)  # (B, S, E), spatial-major
+    return layer_norm(tokens, p["ln"])
+
+
+def _interp_matrix_cached(in_size: int, out_size: int):
+    from ..utils.image import _interp_matrix
+
+    return _interp_matrix(in_size, out_size, False)
+
+
+def pixel_shuffle_nhwc(x: jax.Array, r: int) -> jax.Array:
+    """torch nn.PixelShuffle semantics on an NHWC array.
+
+    (B, H, W, C*r^2) -> (B, H*r, W*r, C) with the NCHW channel index
+    decomposed as c = c_out*r^2 + dy*r + dx (torch's convention), so the
+    values match utils.image.pixel_shuffle exactly after layout transpose.
+    """
+    b, h, w, c = x.shape
+    oc = c // (r * r)
+    y = x.reshape(b, h, w, oc, r, r)  # (..., c_out, dy, dx)
+    y = y.transpose(0, 1, 4, 2, 5, 3)  # (B, H, dy, W, dx, c_out)
+    return y.reshape(b, h * r, w * r, oc)
 
 
 def attention_f32(x: jax.Array, p: dict, num_heads: int) -> jax.Array:

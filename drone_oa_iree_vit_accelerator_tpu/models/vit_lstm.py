@@ -176,6 +176,32 @@ def fuse_tokens(cfg: ModelConfig, params: dict, x: jax.Array) -> jax.Array:
     return down.reshape(b, -1)  # (B, 9*16*32=4608)
 
 
+def fuse_tokens_nhwc(cfg: ModelConfig, params: dict, x: jax.Array) -> jax.Array:
+    """Feature-last token fusion: tokens (B, S, E) -> (B, decoder_in).
+
+    Values identical to fuse_tokens up to f32 reduction order: the
+    pixel-shuffle/upsample/conv chain runs NHWC (features in lanes) and
+    the tiny (B, 16, 32, 9) conv output is transposed back to the NCHW
+    flatten order the decoder expects — drop-in for every caller.
+    """
+    b = x.shape[0]
+    if cfg.fusion is FusionKind.FLATTEN:
+        return x.reshape(b, cfg.S * cfg.E)  # token-major, same as fuse_tokens
+    th, tw = cfg.token_hw
+    y = x.reshape(b, th, tw, cfg.E)  # (B, 8, 16, E) NHWC
+    shuffled = L.pixel_shuffle_nhwc(y, 2)  # (B, 16, 32, E/4)
+    fh, fw = cfg.fusion_hw
+    from ..utils.image import _interp_matrix
+
+    mh = jnp.asarray(_interp_matrix(th, fh, True), y.dtype)
+    mw = jnp.asarray(_interp_matrix(tw, fw, True), y.dtype)
+    up = jnp.einsum("bhwc,Ww->bhWc", y, mw)
+    up = jnp.einsum("bhWc,Hh->bHWc", up, mh)  # (B, 16, 32, E)
+    fused = jnp.concatenate([shuffled, up], axis=-1)  # (B,16,32,E/4+E)
+    down = L.conv2d_nhwc(fused, params["fusion"]["conv"], stride=1, padding=1)
+    return down.transpose(0, 3, 1, 2).reshape(b, -1)  # NCHW flatten order
+
+
 def forward(
     cfg: ModelConfig,
     params: dict,
@@ -187,6 +213,7 @@ def forward(
     attn_fn: BlockFn | None = None,
     ffn_fn: BlockFn | None = None,
     encoder_fn: Callable[[dict, jax.Array], jax.Array] | None = None,
+    encoder_layout: str = "bse",
     training: bool = False,
     rng: jax.Array | None = None,
 ) -> tuple[jax.Array, LSTMState]:
@@ -197,6 +224,12 @@ def forward(
     ``encoder_fn(params, tokens) -> tokens`` replaces the whole
     attention/FFN/LN block loop instead (used by the fused Pallas path,
     which keeps residual+LN inside the kernel).
+    ``encoder_layout="nhwc"``: run the tokenizer and token fusion in
+    feature-last (NHWC) form — tokens are still (B, S, E) with identical
+    ordering, but the conv/resize/pixel-shuffle chain keeps features in
+    lanes, eliminating the layout copies + conv-layout poisoning measured
+    around the Pallas kernel. Drop-in numerically (f32 reduction order
+    only).
     """
     if attn_fn is None:
         attn_fn = lambda i, x: L.attention_f32(x, params["blocks"][i]["attn"], cfg.H)
@@ -207,14 +240,26 @@ def forward(
     if state is None:
         state = zero_state(cfg, frame.shape[0])
 
-    if encoder_fn is not None:
+    if encoder_layout == "nhwc":
+        tokens = L.tokenizer_forward_nhwc(frame, params["tokenizer"], cfg)
+        if encoder_fn is not None:
+            x = encoder_fn(params, tokens)
+        else:
+            x = tokens
+            for i in range(cfg.num_layers):
+                blk = params["blocks"][i]
+                x = L.layer_norm(x + attn_fn(i, x), blk["ln1"])
+                x = L.layer_norm(x + ffn_fn(i, x), blk["ln2"])
+        flat = fuse_tokens_nhwc(cfg, params, x)
+    elif encoder_fn is not None:
         x = encoder_fn(params, L.tokenizer_forward(frame, params["tokenizer"], cfg))
+        flat = fuse_tokens(cfg, params, x)
     else:
         x = encoder_tokens(cfg, params, frame, attn_fn, ffn_fn)
-    flat = fuse_tokens(cfg, params, x)
+        flat = fuse_tokens(cfg, params, x)
 
     dec = params["decoder"]
-    if cfg.spectral_norm_decoder:
+    if cfg.spectral_norm_decoder and "u" in dec:
         w_sn, _, _ = L.spectral_norm_weight(dec["w"], dec["u"], dec["v"], update=False)
         out = flat @ w_sn + dec["b"]
     else:
@@ -227,9 +272,36 @@ def forward(
     )
 
     head = params["fc2"]
-    if cfg.spectral_norm_decoder:
+    if cfg.spectral_norm_decoder and "u" in head:
         w_sn, _, _ = L.spectral_norm_weight(head["w"], head["u"], head["v"], update=False)
         cmd = y @ w_sn + head["b"]
     else:
         cmd = L.linear(y, head)
     return cmd, LSTMState(h, c)
+
+
+def freeze_for_inference(cfg: ModelConfig, params: dict) -> dict:
+    """Precompute inference-constant transforms: bake the spectral
+    normalization of the decoder/head weights into the stored weight and
+    drop the (u, v) power-iteration vectors.
+
+    At inference the spectral norm is a fixed linear rescale (the
+    reference exports the already-normalized weight into ONNX the same
+    way — torch's spectral_norm is a weight reparametrization that
+    materializes at eval). Recomputing the u^T W v reduction per frame
+    cost ~6 us/call on the serving path; the frozen pytree is numerically
+    IDENTICAL (same reduction, computed once). forward() detects frozen
+    params by the absent 'u' key. Training must keep the unfrozen form.
+    """
+    if not cfg.spectral_norm_decoder:
+        return params
+    p = dict(params)
+    for k in ("decoder", "fc2"):
+        d = dict(p[k])
+        if "u" not in d:
+            continue
+        w_sn, _, _ = L.spectral_norm_weight(d["w"], d["u"], d["v"], update=False)
+        d["w"] = w_sn
+        del d["u"], d["v"]
+        p[k] = d
+    return p

@@ -34,6 +34,22 @@ _RANGE_SCALE = 32
 _EPS_MAX = _RANGE_SCALE * _B / (2**_B)  # == 1.0
 SOFTMAX_OUT_SCALE = 1.0 / 255.0
 SOFTMAX_OUT_ZP = 0
+_INV_NUM = (2**_B - 1) * (2**16)  # 16711680, < 2**24
+
+
+def _floor_div_inv(den: jax.Array) -> jax.Array:
+    """Exact floor(16711680 / den), den >= 1 int32.
+
+    f32 division + one integer fixup: the true quotient is < 2**24 and
+    f32 round-to-nearest has relative error 2**-24, so the float quotient
+    is within +-1 of the floor; the exact integer remainder corrects it.
+    Much faster on the TPU VPU than XLA's generic i32 divide and exactly
+    matches the oracle's integer division (tests/ita_oracle.py)."""
+    q = jnp.floor(jnp.float32(_INV_NUM) / den.astype(jnp.float32)).astype(
+        jnp.int32
+    )
+    r = _INV_NUM - q * den
+    return q - (r < 0).astype(jnp.int32) + (r >= den).astype(jnp.int32)
 
 
 def ita_integer_softmax(x_int: jax.Array, axis: int = -1) -> jax.Array:
@@ -52,8 +68,9 @@ def ita_integer_softmax(x_int: jax.Array, axis: int = -1) -> jax.Array:
     # cross an integer boundary and land 1 LSB high for some denominators.
     # The hardware's serial divider is exact, so exact integer division is
     # the bit-parity contract this framework targets; parity with the
-    # torch float path is within 1 LSB.
-    inv = ((2**_B - 1) * (2**16)) // denom  # floor division, fits in int32
+    # torch float path is within 1 LSB. (_floor_div_inv is exact integer
+    # division, implemented via corrected f32 for TPU speed.)
+    inv = _floor_div_inv(denom)
     out = (exp_num * inv) >> 16  # floor(exp * inv / 2**16)
     return out.astype(jnp.uint8)
 
@@ -114,7 +131,7 @@ def ita_integer_softmax_streaming(
         )
 
     denom = jnp.maximum(cur_sum, 1)[..., None]
-    inv = ((2**_B - 1) * (2**16)) // denom
+    inv = _floor_div_inv(denom)
     exp_num = _exp2_shift_i32(cur_max[..., None] - x)
     return ((exp_num * inv) >> 16).astype(jnp.uint8)
 

@@ -96,20 +96,18 @@ def _quantize(x, scale):
 
 
 def _floor_div_u25(num: int, den: jax.Array) -> jax.Array:
-    """Exact floor(num / den) for a constant 25-bit numerator via
-    restoring long division (vectorized on the VPU; den >= 1, int32).
+    """Exact floor(num / den) for a constant 25-bit numerator (den >= 1).
 
-    Mosaic lowers i32 divides poorly/unreliably; 25 static shift-subtract
-    steps are cheap and bit-exact.
+    One f32 division + one integer fixup step. Exact because the true
+    quotient is < 2**24 and f32 round-to-nearest division has relative
+    error 2**-24, so |float quotient - true| < 1 — a single +-1
+    correction from the exact integer remainder recovers the floor.
+    (Replaces a 25-step restoring long division: 175 VPU ops on a
+    lane-starved (S, 1) layout dominated the kernel's softmax cost.)
     """
-    q = jnp.zeros_like(den)
-    rem = jnp.zeros_like(den)
-    for bit in range(24, -1, -1):
-        rem = (rem << 1) | ((num >> bit) & 1)  # numerator bit is a py-int
-        take = rem >= den
-        rem = jnp.where(take, rem - den, rem)
-        q = (q << 1) | take.astype(jnp.int32)
-    return q
+    q = jnp.floor(jnp.float32(num) / den.astype(jnp.float32)).astype(jnp.int32)
+    r = num - q * den
+    return q - (r < 0).astype(jnp.int32) + (r >= den).astype(jnp.int32)
 
 
 def _integer_softmax(a_i32: jax.Array) -> jax.Array:
@@ -174,16 +172,30 @@ def _layer_norm(x, g, b, eps=1e-5):
 
 def _encoder_block_kernel(
     softmax_mode,  # static (functools.partial): 'onepass' | 'streaming'
+    nb,            # static: sequences per grid step
+    seq,           # static: sequence length S
+    transposed_io, # static: blocks arrive/leave as (nb, E, S) channel-first
     iscal_ref,  # SMEM (1, 20) i32
     fscal_ref,  # SMEM (1, 4) f32
-    x_ref,      # VMEM (1, S, E) f32
+    x_ref,      # VMEM (nb, S, E) f32 — or (nb, E, S) when transposed_io
     wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,  # i8 (E,P) / i32 (1,P)
     wo_ref, bo_ref,                                   # i8 (P,E) / i32 (1,E)
     w1_ref, b1_ref, w2_ref, b2_ref,                   # i8 (E,F),(F,E) / i32
     ln1_g_ref, ln1_b_ref, ln2_g_ref, ln2_b_ref,       # f32 (1,E)
-    out_ref,    # VMEM (1, S, E) f32
+    out_ref,    # VMEM (nb, S, E) f32
 ):
-    x = x_ref[0]  # (S, E) f32
+    # Fold the nb sequences into the row axis: every projection / FFN
+    # matmul then runs as one (nb*S, K) x (K, N) GEMM — at nb=8, S=128
+    # that is 1024 MXU rows instead of 128, which is what makes the
+    # batched kernel competitive with XLA's cross-batch GEMM batching.
+    if transposed_io:
+        # Channel-first blocks: transpose inside VMEM (cheap) so the
+        # XLA side never has to materialize a (B,S,E) layout at all.
+        e = x_ref.shape[1]
+        x = jnp.transpose(x_ref[...], (0, 2, 1)).reshape(nb * seq, e)
+    else:
+        e = x_ref.shape[-1]
+        x = x_ref[...].reshape(nb * seq, e)  # (nb*S, E) f32
 
     # ---- quantized attention region ----
     s_attn_in = fscal_ref[0, _FS_ATTN_IN]
@@ -202,30 +214,35 @@ def _encoder_block_kernel(
         iscal_ref[0, _IV_MULT], iscal_ref[0, _IV_SHIFT],
     )
 
-    # Logits: (S,P) x (S,P)^T -> (S,S). Operands stay int8-range; i32 accum.
-    logits = jax.lax.dot_general(
-        qp.astype(jnp.int8),
-        kp.astype(jnp.int8),
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    a_i8 = _requant(logits, iscal_ref[0, _IQK_MULT], iscal_ref[0, _IQK_SHIFT])
+    # Attention is per-sequence: logits (S,S), integer softmax, AV.
+    ctx_parts = []
+    for i in range(nb):
+        qp_i = qp[i * seq : (i + 1) * seq].astype(jnp.int8)   # (S, P)
+        kp_i = kp[i * seq : (i + 1) * seq].astype(jnp.int8)
+        vp_i = vp[i * seq : (i + 1) * seq]
+        # Logits: (S,P) x (S,P)^T -> (S,S); i32 accum; NO 1/sqrt(d).
+        logits = jax.lax.dot_general(
+            qp_i, kp_i, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        a_i8 = _requant(
+            logits, iscal_ref[0, _IQK_MULT], iscal_ref[0, _IQK_SHIFT]
+        )
+        if softmax_mode == "streaming":
+            a_u8 = _integer_softmax_streaming(a_i8)  # (S,S) i32 in [0,255]
+        else:
+            a_u8 = _integer_softmax(a_i8)
+        # AV matmul: the uint8 probabilities don't fit int8 and Mosaic has
+        # no mixed u8/i32 x i8 MXU path. Exact offset decomposition:
+        # a @ v == (a - 128) @ v + 128 * colsum(v), with (a-128) in i8.
+        av_acc = _int_dot(
+            (a_u8 - 128).astype(jnp.int8), vp_i.astype(jnp.int8)
+        ) + 128 * jnp.sum(vp_i, axis=0, keepdims=True)
+        ctx_parts.append(
+            _requant(av_acc, iscal_ref[0, _IAV_MULT], iscal_ref[0, _IAV_SHIFT])
+        )
+    ctx = ctx_parts[0] if nb == 1 else jnp.concatenate(ctx_parts, axis=0)
 
-    if softmax_mode == "streaming":
-        a_u8 = _integer_softmax_streaming(a_i8)  # (S,S) i32 in [0,255]
-    else:
-        a_u8 = _integer_softmax(a_i8)
-
-    # AV matmul: the uint8 probabilities don't fit int8 and Mosaic has no
-    # mixed u8/i32 x i8 MXU path. Exact offset decomposition instead:
-    # a @ v == (a - 128) @ v + 128 * colsum(v), with (a-128) in i8 range.
-    vp_i8 = vp.astype(jnp.int8)
-    av_acc = _int_dot((a_u8 - 128).astype(jnp.int8), vp_i8) + 128 * jnp.sum(
-        vp, axis=0, keepdims=True
-    )
-    ctx = _requant(
-        av_acc, iscal_ref[0, _IAV_MULT], iscal_ref[0, _IAV_SHIFT]
-    )
     attn_out_i8 = _requant(
         _int_dot(ctx.astype(jnp.int8), wo_ref[:]) + bo_ref[0],
         iscal_ref[0, _IO_MULT], iscal_ref[0, _IO_SHIFT],
@@ -251,18 +268,27 @@ def _encoder_block_kernel(
     )
 
     ffn_f = ff2.astype(jnp.float32) * fscal_ref[0, _FS_FFN_OUT]
-    out_ref[0] = _layer_norm(h + ffn_f, ln2_g_ref[0], ln2_b_ref[0])
+    out = _layer_norm(h + ffn_f, ln2_g_ref[0], ln2_b_ref[0])
+    if transposed_io:
+        out_ref[...] = jnp.transpose(out.reshape(nb, seq, e), (0, 2, 1))
+    else:
+        out_ref[...] = out.reshape(nb, seq, e)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "softmax_mode"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("interpret", "softmax_mode", "transposed_io", "max_nb"),
+)
 def ita_encoder_block(
-    x: jax.Array,  # (B, S, E) f32
+    x: jax.Array,  # (B, S, E) f32 — or (B, E, S) when transposed_io
     attn: IntAttentionParams,
     ffn: IntFFNParams,
     ln1: dict,
     ln2: dict,
     interpret: bool = False,
     softmax_mode: str = "onepass",
+    transposed_io: bool = False,
+    max_nb: int = 8,
 ) -> jax.Array:
     """One fused quantized encoder layer on TPU (B small; grid over B).
 
@@ -280,7 +306,10 @@ def ita_encoder_block(
             "config); use the jnp golden path (quant.int8_forward) for "
             f"num_heads={attn.num_heads}"
         )
-    b, s, e = x.shape
+    if transposed_io:
+        b, e, s = x.shape
+    else:
+        b, s, e = x.shape
     p = attn.q.w.shape[1]
     f = ffn.fc1.w.shape[1]
     iscal, fscal = pack_block_scalars(attn, ffn)
@@ -294,13 +323,21 @@ def ita_encoder_block(
 
     row = lambda n: vmem_const((1, n))
 
+    # Sequences per grid step: fold up to 8 sequences into one block so
+    # the projection/FFN GEMMs see nb*S rows (MXU utilization; VMEM use
+    # stays ~5 MB at nb=8 for the flagship dims).
+    nb = next(n for n in (max_nb, 8, 4, 2, 1) if n <= max_nb and b % n == 0)
+
+    xblock = (nb, e, s) if transposed_io else (nb, s, e)
     return pl.pallas_call(
-        functools.partial(_encoder_block_kernel, softmax_mode),
-        grid=(b,),
+        functools.partial(
+            _encoder_block_kernel, softmax_mode, nb, s, transposed_io
+        ),
+        grid=(b // nb,),
         in_specs=[
             smem((1, N_ISCALARS)),
             smem((1, N_FSCALARS)),
-            pl.BlockSpec((1, s, e), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(xblock, lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             vmem_const((e, p)), row(p),
             vmem_const((e, p)), row(p),
             vmem_const((e, p)), row(p),
@@ -310,9 +347,11 @@ def ita_encoder_block(
             row(e), row(e), row(e), row(e),
         ],
         out_specs=pl.BlockSpec(
-            (1, s, e), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            xblock, lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, s, e), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, e, s) if transposed_io else (b, s, e), jnp.float32
+        ),
         interpret=interpret,
     )(
         iscal, fscal, x,

@@ -58,6 +58,15 @@ def make_serving_step(cfg: ModelConfig, path: str = "pallas"):
         fwd = lambda cfg, p, ip, f, v, q, s: QZ.pallas_forward(
             cfg, p, ip, f, v, q, s, interpret=interp
         )
+    elif path == "pallas_bf16":
+        # THE deployment configuration: int8 Pallas encoder + bf16 float
+        # glue — the TPU-native analog of the reference's deployed build
+        # (f16-demoted model + int8 accelerator dispatch,
+        # CMakeLists.txt:15-33 --iree-input-demote-f32-to-f16).
+        interp = jax.default_backend() != "tpu"
+        fwd = lambda cfg, p, ip, f, v, q, s: QZ.pallas_forward(
+            cfg, p, ip, f, v, q, s, interpret=interp, glue_dtype=jnp.bfloat16
+        )
     elif path == "int8":
         fwd = QZ.int8_forward
     elif path == "f32":
@@ -133,7 +142,7 @@ def make_fused_serving_step(cfg: ModelConfig):
         flat = M.fuse_tokens(cfg, params, x)  # (1, decoder_in)
 
         dec, head = params["decoder"], params["fc2"]
-        if cfg.spectral_norm_decoder:
+        if cfg.spectral_norm_decoder and "u" in dec:
             dec_w, _, _ = L.spectral_norm_weight(dec["w"], dec["u"], dec["v"])
             head_w, _, _ = L.spectral_norm_weight(head["w"], head["u"], head["v"])
         else:
@@ -190,7 +199,9 @@ class ServingEngine:
                     )
         if int_params is None:
             int_params = _calibrate_random(cfg, params)
-        self.params = params
+        # Bake inference-constant transforms (spectral norm) into the
+        # weights once — identical numerics, ~6 us/frame less device work.
+        self.params = M.freeze_for_inference(cfg, params)
         self.int_params = int_params
         self.step = make_serving_step(cfg, path)
         self.state = M.zero_state(cfg, 1)

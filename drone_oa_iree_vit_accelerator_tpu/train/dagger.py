@@ -1,0 +1,194 @@
+"""DAgger: on-policy data aggregation against the scripted expert.
+
+Round-1 behavior cloning on expert-only rollouts reached 87.5% on the
+16-world eval but only 48% on 64 held-out worlds — the classic BC
+covariate-shift failure (the policy visits states the expert never
+demonstrated, then compounds its own errors). Noisy-expert (DART-style)
+data made it WORSE (measured: 36-50%). The standard remedy is DAgger
+(Ross et al., AISTATS 2011): roll out the CURRENT policy, query the
+expert for the correct command at every visited state, aggregate, and
+retrain. The reference's lifecycle has no analog (its vitfly dataset is
+fixed), so this is a framework addition on the training side (the closed
+loop it needs is SURVEY.md section 3.6's evaluation loop, which we have
+as a batched jit).
+
+Everything here is one jitted lax.scan per collection batch: render ->
+policy -> postprocess -> dynamics, recording (frame, expert label) every
+``frame_stride`` ticks while the drone is still active.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import ModelConfig
+from ..models import vit_lstm as M
+from ..pipeline.serve import postprocess_velocity
+from ..sim import world as W
+from ..sim.rollout import sample_worlds
+from .dataset import Trajectory, expert_command
+
+
+class _Collected(NamedTuple):
+    frames: jax.Array  # (T, B, 60, 90) u8
+    labels: jax.Array  # (T, B, 3) expert commands at the visited states
+    active: jax.Array  # (T, B) bool — state was live when visited
+
+
+def _collect_batch(
+    cfg: ModelConfig,
+    params: dict,
+    worlds: W.World,  # stacked (B, ...)
+    wcfg: W.WorldConfig,
+    steps: int,
+    frame_stride: int,
+    desired_vel: float,
+    expert_mix: float,
+    key: jax.Array,
+) -> _Collected:
+    """Roll B drones under the current policy; label states with the expert.
+
+    ``expert_mix``: probability per-drone-per-segment of executing the
+    EXPERT action instead of the policy's (DAgger's beta; 0 = pure
+    on-policy). Labels are always the expert's.
+    """
+    b = worlds.radii.shape[0]
+    drone0 = jax.vmap(lambda _: W.init_drone(wcfg))(jnp.arange(b))
+    lstm0 = M.zero_state(cfg, b)
+    vel_des = jnp.full((b,), desired_vel)
+    quat = jnp.zeros((b, 4)).at[:, 0].set(1.0)
+
+    n_rec = steps // frame_stride
+
+    def segment(carry, t):
+        drone, lstm, done, k = carry
+        images = jax.vmap(lambda w, p: W.render_depth(W.World(*w), p, wcfg))(
+            (worlds.centers, worlds.radii), drone.pos
+        )  # (B, 60, 90) u8
+        exp_cmd = jax.vmap(
+            lambda w, p: expert_command(W.World(*w), p, desired_vel, wcfg)
+        )((worlds.centers, worlds.radii), drone.pos)
+
+        frames = images.astype(jnp.float32)[:, None] / 255.0
+        cmd_raw, lstm_new = M.forward(
+            cfg, params, frames, vel_des[:, None], quat, lstm
+        )
+        pol_cmd = jax.vmap(postprocess_velocity)(
+            cmd_raw, vel_des, drone.pos[:, 0]
+        )
+        k, sub = jax.random.split(k)
+        use_expert = jax.random.uniform(sub, (b,)) < expert_mix
+        cmd = jnp.where(use_expert[:, None], exp_cmd, pol_cmd)
+
+        active = ~done
+        cmd = jnp.where(active[:, None], cmd, 0.0)
+
+        # Hold the command for frame_stride dynamics ticks (camera rate).
+        def dyn(s, _):
+            return (
+                jax.vmap(lambda ss, cc: W.step_dynamics(ss, cc, wcfg))(s, cmd),
+                None,
+            )
+
+        drone_new, _ = jax.lax.scan(dyn, drone, None, length=frame_stride)
+        drone_new = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(active[:, None], new, old),
+            drone_new, drone,
+        )
+        lstm_new = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(active[None, :, None], new, old),
+            lstm_new, lstm,
+        )
+        hit = jax.vmap(lambda w, p: W.check_collision(W.World(*w), p, wcfg))(
+            (worlds.centers, worlds.radii), drone_new.pos
+        )
+        reached = drone_new.pos[:, 0] >= wcfg.goal_x
+        done_new = done | (hit & active) | reached
+        return (drone_new, lstm_new, done_new, k), (images, exp_cmd, active)
+
+    (_, _, _, _), (frames, labels, active) = jax.lax.scan(
+        segment,
+        (drone0, lstm0, jnp.zeros((b,), bool), key),
+        jnp.arange(n_rec),
+    )
+    return _Collected(frames=frames, labels=labels, active=active)
+
+
+def collect_policy_trajectories(
+    cfg: ModelConfig,
+    params: dict,
+    n_trajectories: int,
+    *,
+    wcfg: W.WorldConfig = W.WorldConfig(),
+    steps: int = 1200,
+    frame_stride: int = 5,
+    desired_vel: float = 5.0,
+    expert_mix: float = 0.0,
+    seed: int = 0,
+    min_frames: int = 8,
+) -> list[Trajectory]:
+    """DAgger collection: policy-visited states with expert labels.
+
+    Returns reference-layout Trajectory tuples (frames u8, vel_des, quat,
+    expert cmd) trimmed to each drone's active prefix — drop-in for
+    Trainer(trajectories=...).
+    """
+    key = jax.random.PRNGKey(seed)
+    worlds = sample_worlds(jax.random.fold_in(key, 1), n_trajectories, wcfg)
+    run = jax.jit(
+        lambda p, w: _collect_batch(
+            cfg, p, w, wcfg, steps, frame_stride, desired_vel,
+            expert_mix, jax.random.fold_in(key, 2),
+        )
+    )
+    col = jax.block_until_ready(run(params, worlds))
+    frames = np.asarray(col.frames)  # (T, B, 60, 90)
+    labels = np.asarray(col.labels)
+    active = np.asarray(col.active)
+
+    out: list[Trajectory] = []
+    for i in range(n_trajectories):
+        n = int(active[:, i].sum())
+        # Trim to a multiple of 40 frames: pad_batch pads each batch to
+        # its max length, and a fresh (B, T) shape means a fresh XLA
+        # compile — quantizing lengths keeps the compile set small.
+        n = (n // 40) * 40
+        if n < max(min_frames, 40):
+            continue
+        t = frames[:n, i][:, None, :, :]  # (n, 1, 60, 90)
+        out.append(
+            Trajectory(
+                frames=t.astype(np.uint8),
+                vel_des=np.full((n, 1), desired_vel, np.float32),
+                quat=np.tile(
+                    np.asarray([[1.0, 0, 0, 0]], np.float32), (n, 1)
+                ),
+                cmd_gt=labels[:n, i].astype(np.float32),
+            )
+        )
+    return out
+
+
+def collect_expert_trajectories(
+    cfg: ModelConfig,
+    n_trajectories: int,
+    *,
+    wcfg: W.WorldConfig = W.WorldConfig(),
+    steps: int = 1200,
+    frame_stride: int = 5,
+    desired_vel: float = 5.0,
+    seed: int = 0,
+) -> list[Trajectory]:
+    """Expert-only rollouts (DAgger round 0), in memory — the same data
+    train.dataset.generate_synthetic writes to disk, without the PNG
+    round-trip."""
+    params = M.init_params(cfg, jax.random.PRNGKey(0))  # unused at mix=1
+    return collect_policy_trajectories(
+        cfg, params, n_trajectories, wcfg=wcfg, steps=steps,
+        frame_stride=frame_stride, desired_vel=desired_vel,
+        expert_mix=1.0, seed=seed,
+    )
