@@ -112,6 +112,15 @@ def pallas_forward(
     from ..models import vit_lstm as M
     from ..ops.pallas.ita_kernel import ita_encoder_block
 
+    if jnp.ndim(int_params["attn"][0].q.mult) != 0:
+        raise ValueError(
+            "pallas_forward requires per-tensor int_params (scalar "
+            "mult/shift): the kernel packs requant params as SMEM scalars "
+            "and the ITA hardware requantizes per-tensor. Per-channel "
+            "weights (calibrate_ptq(per_channel=True)) run through "
+            "int8_forward."
+        )
+
     def encoder_fn(p, tokens):
         # Feature-last (NHWC) tokenizer/fusion around standard (B, S, E)
         # kernel blocks: keeps channels in lanes end to end — without it,

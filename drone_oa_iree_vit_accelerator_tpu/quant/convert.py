@@ -40,9 +40,21 @@ from ..ops.quant import (
 from .qat import AttnObservers, FFNObservers, QATObservers, weight_scale
 
 
-def _quant_linear(p: dict, s_in, s_out) -> QuantLinearParams:
+def _quant_linear(
+    p: dict, s_in, s_out, per_channel: bool = False
+) -> QuantLinearParams:
+    """Quantize one linear layer's weights + fold its bias.
+
+    ``per_channel=True`` gives every output channel its own weight scale
+    (and therefore its own (mult, shift) requant pair and int32 bias fold)
+    — the reference ARM config's per_channel_symmetric weight observer
+    (reference tests/p2e_backup/ita_quantization_specs.py:47-67).
+    ops.quant.requant broadcasts vector mult/shift over the last axis, so
+    the integer XLA path handles both layouts with the same code; the
+    Pallas kernel's SMEM scalar packing requires per-tensor.
+    """
     w = p["w"]
-    s_w = weight_scale(w)
+    s_w = weight_scale(w, per_channel=per_channel)
     mult, shift = hw_params_jnp(s_in * s_w / s_out)
     return QuantLinearParams(
         w=quantize(w, s_w),
@@ -57,7 +69,7 @@ def _quant_linear(p: dict, s_in, s_out) -> QuantLinearParams:
 
 
 def convert_attention(
-    p: dict, obs: AttnObservers, num_heads: int
+    p: dict, obs: AttnObservers, num_heads: int, per_channel: bool = False
 ) -> IntAttentionParams:
     s_in = observer_scale(obs.in_)
     s_q = observer_scale(obs.q)
@@ -71,10 +83,10 @@ def convert_attention(
     av_mult, av_shift = hw_params_jnp(SOFTMAX_OUT_SCALE * s_v / s_av)
 
     return IntAttentionParams(
-        q=_quant_linear(p["q"], s_in, s_q),
-        k=_quant_linear(p["k"], s_in, s_k),
-        v=_quant_linear(p["v"], s_in, s_v),
-        o=_quant_linear(p["o"], s_av, s_out),
+        q=_quant_linear(p["q"], s_in, s_q, per_channel),
+        k=_quant_linear(p["k"], s_in, s_k, per_channel),
+        v=_quant_linear(p["v"], s_in, s_v, per_channel),
+        o=_quant_linear(p["o"], s_av, s_out, per_channel),
         qk_mult=qk_mult,
         qk_shift=qk_shift,
         qk_add=jnp.int32(0),
@@ -87,7 +99,9 @@ def convert_attention(
     )
 
 
-def convert_ffn(p: dict, obs: FFNObservers) -> IntFFNParams:
+def convert_ffn(
+    p: dict, obs: FFNObservers, per_channel: bool = False
+) -> IntFFNParams:
     s_in = observer_scale(obs.in_)
     s_fc1 = observer_scale(obs.fc1)
     s_relu = observer_scale(obs.relu)
@@ -96,30 +110,35 @@ def convert_ffn(p: dict, obs: FFNObservers) -> IntFFNParams:
     relu_mult, relu_shift = hw_params_jnp(s_fc1 / s_relu)
 
     return IntFFNParams(
-        fc1=_quant_linear(p["fc1"], s_in, s_fc1),
+        fc1=_quant_linear(p["fc1"], s_in, s_fc1, per_channel),
         relu_mult=relu_mult,
         relu_shift=relu_shift,
         relu_add=jnp.int32(0),
-        fc2=_quant_linear(p["fc2"], s_relu, s_fc2),
+        fc2=_quant_linear(p["fc2"], s_relu, s_fc2, per_channel),
         s_in=jnp.asarray(s_in, jnp.float32),
         s_out=jnp.asarray(s_fc2, jnp.float32),
     )
 
 
 def convert_model(
-    params: dict, observers: QATObservers, num_heads: int
+    params: dict,
+    observers: QATObservers,
+    num_heads: int,
+    per_channel: bool = False,
 ) -> dict:
     """Convert every quantized block; returns {'attn': (...), 'ffn': (...)}.
 
     Pure function of (params, observers) — jit it for on-device conversion.
+    ``per_channel=True`` selects per-output-channel weight scales (XLA
+    integer path only; the Pallas kernel requires per-tensor).
     """
     return {
         "attn": tuple(
-            convert_attention(blk["attn"], obs, num_heads)
+            convert_attention(blk["attn"], obs, num_heads, per_channel)
             for blk, obs in zip(params["blocks"], observers.attn)
         ),
         "ffn": tuple(
-            convert_ffn(blk["ffn"], obs)
+            convert_ffn(blk["ffn"], obs, per_channel)
             for blk, obs in zip(params["blocks"], observers.ffn)
         ),
     }

@@ -27,9 +27,14 @@ def calibrate_ptq(
     vel: jax.Array | None = None,
     quat: jax.Array | None = None,
     batch_size: int = 8,
+    per_channel: bool = False,
 ) -> tuple[dict, QATObservers]:
     """Run calibration frames through the full model (observers updating,
     STE irrelevant — no grads) and convert. Returns (int_params, observers).
+
+    ``per_channel=True`` quantizes weights per output channel — the
+    reference ARM config (tests/p2e_backup/ita_quantization_specs.py:47-67).
+    Per-channel int_params run through the XLA integer path only.
     """
     n = frames_u8.shape[0]
     if vel is None:
@@ -55,7 +60,7 @@ def calibrate_ptq(
             params, observers, frames_u8[i : i + batch_size],
             vel[i : i + batch_size], quat[i : i + batch_size],
         )
-    int_params = jax.jit(convert_model, static_argnums=2)(
-        params, observers, cfg.H
+    int_params = jax.jit(convert_model, static_argnums=(2, 3))(
+        params, observers, cfg.H, per_channel
     )
     return int_params, observers

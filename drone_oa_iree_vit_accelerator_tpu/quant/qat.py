@@ -82,13 +82,22 @@ class QATObservers:
         )
 
 
-def weight_scale(w: jax.Array) -> jax.Array:
-    """Per-tensor symmetric weight scale from the current weight extrema.
+def weight_scale(w: jax.Array, per_channel: bool = False) -> jax.Array:
+    """Symmetric weight scale from the current weight extrema.
 
     torch observes weights through the same moving-average observer, but
     since the observed tensor IS the weight (changing slowly), the
     converged statistics equal the current extrema; we use them directly.
+
+    ``per_channel=True`` returns one scale per output channel (w is stored
+    (in, out), so the reduction is over axis 0) — the reference's ARM
+    deployment config uses per_channel_symmetric weight observers
+    (reference tests/p2e_backup/ita_quantization_specs.py:47-67); the ITA
+    hardware itself requantizes per-tensor, so per-channel is an XLA-path
+    accuracy option, not a kernel mode.
     """
+    if per_channel:
+        return symmetric_scale(jnp.min(w, axis=0), jnp.max(w, axis=0))
     return symmetric_scale(jnp.min(w), jnp.max(w))
 
 
