@@ -92,6 +92,7 @@ def main() -> None:
     paths = ("f32", "int8", "int8_bf16", "pallas", "pallas_bf16")
     results: dict[str, dict] = {}
     flops_per_frame = None
+
     for batch, ncalls in ((1, 80), (1024, 12)):
         vel = jnp.ones((batch, 1), jnp.float32)
         quat = jnp.tile(jnp.asarray([[1.0, 0, 0, 0]], jnp.float32), (batch, 1))
@@ -126,6 +127,41 @@ def main() -> None:
                 ),
                 "n_timed": t.n_executions,
             }
+
+    # The two-kernel deployment config (fused Pallas encoder + fused
+    # Pallas decoder/LSTM/head tail, VERDICT r1 item 2): serving-shaped
+    # (batch 1, raw (60, 90) camera frame, post-processing included — it
+    # does strictly MORE work per frame than the other batch-1 paths).
+    # The step donates its state argument, so each timed call gets a
+    # fresh state buffer.
+    from drone_oa_iree_vit_accelerator_tpu.pipeline.serve import (
+        make_fused_serving_step,
+    )
+
+    fused_step = make_fused_serving_step(CFG)
+    fused_imgs = [
+        jax.random.randint(jax.random.PRNGKey(1000 + i), (60, 90), 0, 256,
+                           jnp.uint8)
+        for i in range(81)
+    ]
+    fused_common = (jnp.float32(5.0), jnp.float32(1.0),
+                    jnp.asarray([1.0, 0, 0, 0], jnp.float32))
+    t = device_time_per_call(
+        fused_step,
+        [(params, int_params, fused_imgs[i + 1], *fused_common,
+          M.zero_state(CFG, 1))
+         for i in range(80)],
+        warmup_args=(params, int_params, fused_imgs[0], *fused_common,
+                     M.zero_state(CFG, 1)),
+    )
+    results["fused_b1"] = {
+        "device_ms_per_call": round(t.per_call_ms, 4),
+        "fps": round(1.0 / t.per_call_ms * 1e3, 1),
+        "mfu_pct": round(
+            flops_per_frame / (t.per_call_ms / 1e3) / PEAK_FLOPS * 100, 3
+        ),
+        "n_timed": t.n_executions,
+    }
 
     best_kind, best = max(
         ((k, v) for k, v in results.items() if k.endswith("_b1024")),

@@ -108,22 +108,31 @@ class QATTrainer(Trainer):
         ]
         return float(np.mean(losses))
 
+    def train_one_epoch(self, epoch: int) -> float:
+        """One pass over the training set; returns mean train loss.
+
+        Exposed so deployment pipelines can interleave epochs with
+        closed-loop validation (val LOSS selection is anti-correlated
+        with closed-loop success on this task — measured in the DAgger
+        runs, scripts/dagger_train.py)."""
+        epoch_losses = []
+        for b in D.batches(
+            self.train_trajs, self.tcfg.batch_size,
+            seed=self.tcfg.seed + epoch,
+        ):
+            self.rng, sub = jax.random.split(self.rng)
+            self.params, self.observers, self.opt_state, loss = self._qat_step(
+                self.params, self.observers, self.opt_state,
+                self._to_device_batch(b), sub,
+            )
+            epoch_losses.append(float(loss))
+        return float(np.mean(epoch_losses))
+
     def train(self) -> dict:
         best_val, best_epoch, bad_epochs = float("inf"), -1, 0
         history = []
         for epoch in range(self.tcfg.epochs):
-            epoch_losses = []
-            for b in D.batches(
-                self.train_trajs, self.tcfg.batch_size,
-                seed=self.tcfg.seed + epoch,
-            ):
-                self.rng, sub = jax.random.split(self.rng)
-                self.params, self.observers, self.opt_state, loss = self._qat_step(
-                    self.params, self.observers, self.opt_state,
-                    self._to_device_batch(b), sub,
-                )
-                epoch_losses.append(float(loss))
-            train_loss = float(np.mean(epoch_losses))
+            train_loss = self.train_one_epoch(epoch)
             val_loss = self.evaluate() if self.val_trajs else float("nan")
             history.append({"epoch": epoch, "train": train_loss, "val": val_loss})
             self.mylogger(

@@ -18,10 +18,13 @@ Pipeline:
 World-seed hygiene: train worlds seeds 7000+k, validation seed 880000,
 held-out seed 990000 — the held-out set influences nothing upstream.
 
-Runs on CPU (single core; the axon TPU relay punishes host-sync-heavy
-loops). Checkpoints every phase under --workdir so it can resume.
+Runs on CPU by default; pass --tpu to run the whole pipeline (collection,
+training, rollout evals) on the chip — every phase is one jit call per
+step, so the per-call relay round-trip is amortized and the TPU is ~2
+orders of magnitude faster than the single host core. Checkpoints every
+phase under --workdir so it can resume.
 
-    nohup python scripts/dagger_train.py > /tmp/dagger.log 2>&1 &
+    nohup python scripts/dagger_train.py --tpu > /tmp/dagger.log 2>&1 &
 """
 
 import argparse
@@ -32,7 +35,8 @@ import time
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if "--tpu" not in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
@@ -104,6 +108,8 @@ def main() -> None:
     ap.add_argument("--epochs-k", type=int, default=10)
     ap.add_argument("--frames", type=int, default=240)  # x stride 5 = 12 s
     ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--tpu", action="store_true",
+                    help="run on the TPU (default: force CPU backend)")
     args = ap.parse_args()
 
     if args.fast:
