@@ -163,6 +163,36 @@ def main() -> None:
         "n_timed": t.n_executions,
     }
 
+    # The whole-model megakernel (ops/pallas/model_kernel.py): tokenizer
+    # conv+resize in XLA, everything else — LN, int8 encoder, fusion,
+    # int8 per-channel decoder+LSTM, head, postprocess — in ONE
+    # pallas_call with grid-pipelined weight DMA. The flagship serving
+    # configuration.
+    from drone_oa_iree_vit_accelerator_tpu.ops.pallas.model_kernel import (
+        make_flagship_kernel_params,
+    )
+    from drone_oa_iree_vit_accelerator_tpu.pipeline.serve import (
+        make_serving_step,
+    )
+
+    kp = make_flagship_kernel_params(CFG, params, int_params)
+    mega_step = make_serving_step(CFG, "mega")
+    t = device_time_per_call(
+        mega_step,
+        [(kp, None, fused_imgs[i + 1], *fused_common, M.zero_state(CFG, 1))
+         for i in range(80)],
+        warmup_args=(kp, None, fused_imgs[0], *fused_common,
+                     M.zero_state(CFG, 1)),
+    )
+    results["mega_b1"] = {
+        "device_ms_per_call": round(t.per_call_ms, 4),
+        "fps": round(1.0 / t.per_call_ms * 1e3, 1),
+        "mfu_pct": round(
+            flops_per_frame / (t.per_call_ms / 1e3) / PEAK_FLOPS * 100, 3
+        ),
+        "n_timed": t.n_executions,
+    }
+
     best_kind, best = max(
         ((k, v) for k, v in results.items() if k.endswith("_b1024")),
         key=lambda kv: kv[1]["fps"],

@@ -174,6 +174,13 @@ def tokenizer_forward_nhwc(x: jax.Array, p: dict, cfg) -> jax.Array:
     encoder consumes — no transposes, no layout negotiation around the
     Pallas kernel. Float reduction order may differ (atol ~1e-6).
     """
+    return layer_norm(tokenizer_preln_nhwc(x, p, cfg), p["ln"])
+
+
+def tokenizer_preln_nhwc(x: jax.Array, p: dict, cfg) -> jax.Array:
+    """tokenizer_forward_nhwc minus the final LayerNorm: (B,1,H,W) ->
+    pre-LN tokens (B, S, E). The megakernel serving path runs the LN (and
+    everything after it) inside the kernel; this is the XLA prefix."""
     xn = x.transpose(0, 2, 3, 1)  # (B, H, W, 1)
     y = conv2d_nhwc(xn, p["conv"], stride=cfg.patch_stride, padding=cfg.patch_padding)
     th, tw = cfg.token_hw
@@ -183,8 +190,7 @@ def tokenizer_forward_nhwc(x: jax.Array, p: dict, cfg) -> jax.Array:
         mh = jnp.asarray(_interp_matrix_cached(oh, th), y.dtype)
         y = jnp.einsum("bhwc,Ww->bhWc", y, mw)
         y = jnp.einsum("bhWc,Hh->bHWc", y, mh)
-    tokens = y.reshape(b, th * tw, c)  # (B, S, E), spatial-major
-    return layer_norm(tokens, p["ln"])
+    return y.reshape(b, th * tw, c)  # (B, S, E), spatial-major
 
 
 def _interp_matrix_cached(in_size: int, out_size: int):

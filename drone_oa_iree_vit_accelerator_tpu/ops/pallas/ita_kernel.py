@@ -170,33 +170,22 @@ def _layer_norm(x, g, b, eps=1e-5):
     return (x - mu) * jax.lax.rsqrt(var + eps) * g + b
 
 
-def _encoder_block_kernel(
-    softmax_mode,  # static (functools.partial): 'onepass' | 'streaming'
-    nb,            # static: sequences per grid step
+def encoder_core(
+    x,             # (nb*S, E) f32 value
+    softmax_mode,  # static: 'onepass' | 'streaming'
+    nb,            # static: sequences folded into the row axis
     seq,           # static: sequence length S
-    transposed_io, # static: blocks arrive/leave as (nb, E, S) channel-first
     iscal_ref,  # SMEM (1, 20) i32
     fscal_ref,  # SMEM (1, 4) f32
-    x_ref,      # VMEM (nb, S, E) f32 — or (nb, E, S) when transposed_io
     wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,  # i8 (E,P) / i32 (1,P)
     wo_ref, bo_ref,                                   # i8 (P,E) / i32 (1,E)
     w1_ref, b1_ref, w2_ref, b2_ref,                   # i8 (E,F),(F,E) / i32
     ln1_g_ref, ln1_b_ref, ln2_g_ref, ln2_b_ref,       # f32 (1,E)
-    out_ref,    # VMEM (nb, S, E) f32
 ):
-    # Fold the nb sequences into the row axis: every projection / FFN
-    # matmul then runs as one (nb*S, K) x (K, N) GEMM — at nb=8, S=128
-    # that is 1024 MXU rows instead of 128, which is what makes the
-    # batched kernel competitive with XLA's cross-batch GEMM batching.
-    if transposed_io:
-        # Channel-first blocks: transpose inside VMEM (cheap) so the
-        # XLA side never has to materialize a (B,S,E) layout at all.
-        e = x_ref.shape[1]
-        x = jnp.transpose(x_ref[...], (0, 2, 1)).reshape(nb * seq, e)
-    else:
-        e = x_ref.shape[-1]
-        x = x_ref[...].reshape(nb * seq, e)  # (nb*S, E) f32
-
+    """One quantized encoder layer on an (nb*S, E) f32 value; returns the
+    (nb*S, E) f32 output. Shared by the standalone encoder-block kernel
+    and the whole-model megakernel (model_kernel.py) — the weight/scalar
+    refs have identical layouts in both."""
     # ---- quantized attention region ----
     s_attn_in = fscal_ref[0, _FS_ATTN_IN]
     x_i8 = _quantize(x, s_attn_in)
@@ -268,7 +257,35 @@ def _encoder_block_kernel(
     )
 
     ffn_f = ff2.astype(jnp.float32) * fscal_ref[0, _FS_FFN_OUT]
-    out = _layer_norm(h + ffn_f, ln2_g_ref[0], ln2_b_ref[0])
+    return _layer_norm(h + ffn_f, ln2_g_ref[0], ln2_b_ref[0])
+
+
+def _encoder_block_kernel(
+    softmax_mode,  # static (functools.partial): 'onepass' | 'streaming'
+    nb,            # static: sequences per grid step
+    seq,           # static: sequence length S
+    transposed_io, # static: blocks arrive/leave as (nb, E, S) channel-first
+    iscal_ref,  # SMEM (1, 20) i32
+    fscal_ref,  # SMEM (1, 4) f32
+    x_ref,      # VMEM (nb, S, E) f32 — or (nb, E, S) when transposed_io
+    *w_refs,    # weight/bias/LN refs (see encoder_core) + out_ref last
+):
+    out_ref = w_refs[-1]
+    w_refs = w_refs[:-1]
+    # Fold the nb sequences into the row axis: every projection / FFN
+    # matmul then runs as one (nb*S, K) x (K, N) GEMM — at nb=8, S=128
+    # that is 1024 MXU rows instead of 128, which is what makes the
+    # batched kernel competitive with XLA's cross-batch GEMM batching.
+    if transposed_io:
+        # Channel-first blocks: transpose inside VMEM (cheap) so the
+        # XLA side never has to materialize a (B,S,E) layout at all.
+        e = x_ref.shape[1]
+        x = jnp.transpose(x_ref[...], (0, 2, 1)).reshape(nb * seq, e)
+    else:
+        e = x_ref.shape[-1]
+        x = x_ref[...].reshape(nb * seq, e)  # (nb*S, E) f32
+
+    out = encoder_core(x, softmax_mode, nb, seq, iscal_ref, fscal_ref, *w_refs)
     if transposed_io:
         out_ref[...] = jnp.transpose(out.reshape(nb, seq, e), (0, 2, 1))
     else:

@@ -91,6 +91,40 @@ def make_serving_step(cfg: ModelConfig, path: str = "pallas"):
                 lambda x: x.astype(jnp.float32), t
             )
             return to32(cmd), to32(st)
+    elif path == "mega":
+        # Whole-model megakernel: tokenizer in XLA, then ONE pallas_call
+        # for encoder+fusion+decoder+LSTM+head+postprocess
+        # (ops/pallas/model_kernel.py). The params slot carries the
+        # precomputed FlagshipKernelParams (make_flagship_kernel_params);
+        # the int_params slot is unused (already baked in).
+        from ..models import layers as L
+        from ..ops.pallas.model_kernel import flagship_fused_step
+
+        interp = jax.default_backend() != "tpu"
+
+        def mega_step(kp, _ip, image_u8, vel, pos_x, quat, state):
+            frame = image_u8.astype(jnp.float32)[None, None, :, :] / 255.0
+            # Conv + resize stay in XLA (their layouts are fast there —
+            # moving them in-kernel measured 15 us of stranded-conv +
+            # layout-copy cost); LN and everything downstream run in the
+            # kernel. The state (L, 1, H) passes through unreshaped.
+            tokens = L.tokenizer_preln_nhwc(frame, kp.tok, cfg)[0]  # (S, E)
+            # Layout anchor (same trick as quant.pallas_forward): XLA only
+            # rewrites the conv into its fast form when the consumer is a
+            # matmul; the Pallas custom call is opaque to layout
+            # assignment and strands the conv 15x slower.
+            eye = jnp.eye(tokens.shape[-1], dtype=tokens.dtype)
+            tokens = jax.lax.dot_general(
+                tokens, eye, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            cmd, h, c = flagship_fused_step(
+                kp, tokens, vel, pos_x, quat[None, :],
+                state.h, state.c, interpret=interp,
+            )
+            return cmd, M.LSTMState(h, c)
+
+        return jax.jit(mega_step, donate_argnums=(6,))
     else:
         raise ValueError(path)
 
@@ -168,9 +202,17 @@ class ServingEngine:
         cfg: ModelConfig = ITA_SINGLE_LAYER_UPSAMPLE_SHUFFLE,
         params: dict | None = None,
         int_params: dict | None = None,
-        path: str = "pallas",
+        path: str = "auto",
         checkpoint_dir: str | None = None,
     ):
+        # "auto": the whole-model megakernel where the config supports it
+        # (the flagship shape), else the per-layer Pallas encoder path.
+        if path == "auto":
+            path = "mega" if (
+                cfg.num_layers == 1 and cfg.H == 1
+                and (cfg.S, cfg.E) == (128, 64)
+                and cfg.fusion.name == "PXSHUFFLE_UPSAMPLE"
+            ) else "pallas"
         self.cfg = cfg
         if params is None:
             params = M.init_params(cfg, jax.random.PRNGKey(0))
@@ -203,6 +245,12 @@ class ServingEngine:
         # weights once — identical numerics, ~6 us/frame less device work.
         self.params = M.freeze_for_inference(cfg, params)
         self.int_params = int_params
+        if path == "mega":
+            # The megakernel consumes one precomputed operand pytree in
+            # the params slot (weights bf16, fusion folded to matmuls).
+            from ..ops.pallas.model_kernel import make_flagship_kernel_params
+
+            self.params = make_flagship_kernel_params(cfg, params, int_params)
         self.step = make_serving_step(cfg, path)
         self.state = M.zero_state(cfg, 1)
         self.frames = 0
