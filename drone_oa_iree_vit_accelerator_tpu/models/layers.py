@@ -136,9 +136,21 @@ def tokenizer_forward(x: jax.Array, p: dict, cfg) -> jax.Array:
     kept for reference/tests).
     """
     y = conv2d(x, p["conv"], stride=cfg.patch_stride, padding=cfg.patch_padding)
+    b, c, oh, ow = y.shape
+    th, tw = cfg.token_hw
+    if b >= 64 and (oh, ow) != (th, tw):
+        # Large batch: one kron-matrix contraction instead of the
+        # two-stage resize — the conv output is the batched step's
+        # dominant HBM stream and this reads it once (same rationale as
+        # tokenizer_preln_nhwc; values equal up to summation order). The
+        # GEMM emits (B, S, E) directly, absorbing the transpose.
+        mh = jnp.asarray(_interp_matrix_cached(oh, th), y.dtype)
+        mw = jnp.asarray(_interp_matrix_cached(ow, tw), y.dtype)
+        rmat = jnp.einsum("Hh,Ww->HWhw", mh, mw).reshape(th * tw, oh * ow)
+        tokens = jnp.einsum("tp,bcp->btc", rmat, y.reshape(b, c, oh * ow))
+        return layer_norm(tokens, p["ln"])
     y = bilinear_resize(y, cfg.token_hw, align_corners=False)
-    b, c, h, w = y.shape
-    tokens = y.reshape(b, c, h * w).transpose(0, 2, 1)  # (B, S, E)
+    tokens = y.reshape(b, c, th * tw).transpose(0, 2, 1)  # (B, S, E)
     return layer_norm(tokens, p["ln"])
 
 
@@ -180,16 +192,30 @@ def tokenizer_forward_nhwc(x: jax.Array, p: dict, cfg) -> jax.Array:
 def tokenizer_preln_nhwc(x: jax.Array, p: dict, cfg) -> jax.Array:
     """tokenizer_forward_nhwc minus the final LayerNorm: (B,1,H,W) ->
     pre-LN tokens (B, S, E). The megakernel serving path runs the LN (and
-    everything after it) inside the kernel; this is the XLA prefix."""
+    everything after it) inside the kernel; this is the XLA prefix.
+
+    At large batch the two-stage resize is replaced by ONE kron-matrix
+    contraction: the conv output (B, 30, 45, E) is the dominant HBM
+    stream of the batched step (169 MB bf16 at B=1024), and the two-stage
+    einsum reads it plus a (B, 30, 16, E) intermediate; the single
+    (S, oh*ow) matmul reads it once (device-trace measured: 893 -> 728 us
+    at B=1024). Values equal up to f32/bf16 summation order.
+    """
     xn = x.transpose(0, 2, 3, 1)  # (B, H, W, 1)
     y = conv2d_nhwc(xn, p["conv"], stride=cfg.patch_stride, padding=cfg.patch_padding)
     th, tw = cfg.token_hw
     b, oh, ow, c = y.shape
-    if (oh, ow) != (th, tw):
-        mw = jnp.asarray(_interp_matrix_cached(ow, tw), y.dtype)
-        mh = jnp.asarray(_interp_matrix_cached(oh, th), y.dtype)
-        y = jnp.einsum("bhwc,Ww->bhWc", y, mw)
-        y = jnp.einsum("bhWc,Hh->bHWc", y, mh)
+    if (oh, ow) == (th, tw):
+        return y.reshape(b, th * tw, c)
+    mw = jnp.asarray(_interp_matrix_cached(ow, tw), y.dtype)
+    mh = jnp.asarray(_interp_matrix_cached(oh, th), y.dtype)
+    if b >= 64:
+        rmat = jnp.einsum("Hh,Ww->HWhw", mh, mw).reshape(th * tw, oh * ow)
+        return jnp.einsum(
+            "tp,bpc->btc", rmat, y.reshape(b, oh * ow, c)
+        )  # (B, S, E)
+    y = jnp.einsum("bhwc,Ww->bhWc", y, mw)
+    y = jnp.einsum("bhWc,Hh->bHWc", y, mh)
     return y.reshape(b, th * tw, c)  # (B, S, E), spatial-major
 
 

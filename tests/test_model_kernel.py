@@ -158,3 +158,39 @@ def test_conv_bias_fold_exact(setup):
     flat = M.fuse_tokens_nhwc(CFG, fparams, zero_tokens)
     dec_ref = flat @ fparams["decoder"]["w"] + fparams["decoder"]["b"]
     np.testing.assert_allclose(kp.bdec[0], dec_ref[0], rtol=2e-2, atol=2e-2)
+
+
+def test_streaming_softmax_mode(setup):
+    """softmax_mode='streaming' (the hardware's partial softmax) is a
+    selectable megakernel mode and matches the pallas path in the same
+    mode."""
+    params, int_params, kp = setup
+    tokens, quat, h, c = _rand_inputs(4)
+    vel, pos_x = jnp.float32(5.0), jnp.float32(3.0)
+    cmd_s, _, _ = flagship_fused_step(
+        kp, tokens, vel, pos_x, quat, h, c, interpret=True,
+        softmax_mode="streaming",
+    )
+    blk = params["blocks"][0]
+    tokens_ln = L.layer_norm(
+        tokens[None], {"g": kp.tokg[0], "b": kp.tokb[0]}
+    )
+    x_enc = ita_encoder_block(
+        tokens_ln, int_params["attn"][0], int_params["ffn"][0],
+        blk["ln1"], blk["ln2"], interpret=True, softmax_mode="streaming",
+    )
+    cmd_r, _, _ = megakernel_reference(kp, x_enc[0], vel, pos_x, quat, h, c)
+    np.testing.assert_allclose(cmd_s, cmd_r, rtol=1e-4, atol=1e-4)
+
+
+def test_tokenizer_kron_path_matches_two_stage():
+    """The large-batch kron resize equals the two-stage einsum resize."""
+    key = jax.random.PRNGKey(11)
+    params = M.init_params(CFG, key)
+    frames = jax.random.uniform(key, (64, 1, 60, 90), jnp.float32)
+    big = L.tokenizer_preln_nhwc(frames, params["tokenizer"], CFG)
+    small = jnp.concatenate([
+        L.tokenizer_preln_nhwc(frames[i : i + 16], params["tokenizer"], CFG)
+        for i in range(0, 64, 16)
+    ])
+    np.testing.assert_allclose(big, small, rtol=1e-4, atol=1e-5)
