@@ -81,10 +81,15 @@ def main() -> None:
     params = M.init_params(CFG, jax.random.PRNGKey(0))
     int_params = _calibrate_random(CFG, params)
     report = {}
-    for path in ("pallas", "int8", "f32"):
+    for path in ("mega", "pallas", "int8", "f32"):
         step = make_serving_step(CFG, path)
+        p_arg = params
+        if path == "mega":
+            from ..ops.pallas.model_kernel import make_flagship_kernel_params
+
+            p_arg = make_flagship_kernel_params(CFG, params, int_params)
         args = (
-            params, int_params,
+            p_arg, int_params,
             jnp.zeros(wire.IMAGE_SHAPE, jnp.uint8),
             jnp.float32(1.0), jnp.float32(5.0),
             jnp.zeros((4,), jnp.float32),

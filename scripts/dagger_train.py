@@ -110,10 +110,15 @@ def main() -> None:
     ap.add_argument("--fast", action="store_true")
     ap.add_argument("--tpu", action="store_true",
                     help="run on the TPU (default: force CPU backend)")
+    ap.add_argument("--val-rollouts", type=int, default=None,
+                    help="closed-loop validation worlds (selection noise "
+                    "at 32 worlds is ~3%%; 64 tightens round selection)")
     args = ap.parse_args()
 
+    global VAL_N, VAL_STEPS, HELD_N
+    if args.val_rollouts is not None:
+        VAL_N = args.val_rollouts
     if args.fast:
-        global VAL_N, VAL_STEPS, HELD_N
         args.expert_trajs, args.dagger_trajs = 6, 3
         args.rounds, args.epochs0, args.epochs_k, args.frames = 1, 1, 1, 40
         VAL_N, VAL_STEPS, HELD_N = 4, 300, 4
