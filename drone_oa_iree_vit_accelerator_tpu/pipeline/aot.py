@@ -31,6 +31,20 @@ from . import wire
 from .serve import make_serving_step
 
 
+def _register_mega_serialization() -> None:
+    """jax.export needs custom pytree containers registered by name;
+    FlagshipKernelParams is a NamedTuple, registered once, idempotent."""
+    from ..ops.pallas.model_kernel import FlagshipKernelParams
+
+    try:
+        jax_export.register_namedtuple_serialization(
+            FlagshipKernelParams,
+            serialized_name="doa.FlagshipKernelParams",
+        )
+    except ValueError:
+        pass  # already registered in this process
+
+
 def _example_args(cfg: ModelConfig):
     return (
         jnp.zeros(wire.IMAGE_SHAPE, jnp.uint8),
@@ -48,13 +62,24 @@ def export_serving_step(
     int_params: dict | None = None,
     path: str = "pallas",
 ) -> pathlib.Path:
-    """Serialize the full serving step + parameters into one artifact."""
+    """Serialize the full serving step + parameters into one artifact.
+
+    ``path='mega'`` exports the whole-model megakernel configuration: the
+    params slot of the serialized computation carries the precomputed
+    FlagshipKernelParams operand pytree (weights already packed/quantized)
+    instead of the raw model params.
+    """
     if params is None:
         params = M.init_params(cfg, jax.random.PRNGKey(0))
     if int_params is None:
         from .serve import _calibrate_random
 
         int_params = _calibrate_random(cfg, params)
+    if path == "mega":
+        from ..ops.pallas.model_kernel import make_flagship_kernel_params
+
+        _register_mega_serialization()
+        params = make_flagship_kernel_params(cfg, params, int_params)
 
     step = make_serving_step(cfg, path)
     # jax.export only serializes standard pytree containers; flatten the
@@ -104,9 +129,11 @@ def load_serving_step(artifact: str | pathlib.Path):
     """Reload an exported artifact; returns (step_fn, params, int_params,
     meta). step_fn(image_u8, vel, pos_x, quat, state) -> (cmd, state)."""
     with zipfile.ZipFile(artifact) as zf:
-        exported = jax_export.deserialize(zf.read("computation.bin"))
         meta = json.loads(zf.read("meta.json"))
         cfg = MODEL_ZOO[meta["model"]]
+        if meta["path"] == "mega":
+            _register_mega_serialization()
+        exported = jax_export.deserialize(zf.read("computation.bin"))
 
         def load_tree(name, like):
             data = np.load(io.BytesIO(zf.read(name)))
@@ -114,17 +141,34 @@ def load_serving_step(artifact: str | pathlib.Path):
                 data[k]
                 for k in sorted(data.files, key=lambda s: int(s.split("|")[0]))
             ]
-            _, treedef = jax.tree_util.tree_flatten(like)
-            return jax.tree_util.tree_unflatten(
-                treedef, [jnp.asarray(a) for a in ordered]
-            )
+            like_leaves, treedef = jax.tree_util.tree_flatten(like)
+            leaves = []
+            for a, ll in zip(ordered, like_leaves):
+                if a.dtype.kind == "V":
+                    # numpy round-trips ml_dtypes (bfloat16) as raw void
+                    # bytes; reinterpret with the like-leaf's dtype.
+                    a = a.view(np.dtype(str(jnp.asarray(ll).dtype)))
+                leaves.append(jnp.asarray(a))
+            return jax.tree_util.tree_unflatten(treedef, leaves)
 
-        params = load_tree("params.npz", M.init_params(cfg, jax.random.PRNGKey(0)))
         # int_params are always bundled (the f32 computation was traced
         # with their leaves in the signature too, even though unused).
         from .serve import _calibrate_random
 
-        int_params = load_tree("int_params.npz", _calibrate_random(cfg, params))
+        raw_params = M.init_params(cfg, jax.random.PRNGKey(0))
+        if meta["path"] == "mega":
+            from ..ops.pallas.model_kernel import make_flagship_kernel_params
+
+            params_like = make_flagship_kernel_params(
+                cfg, raw_params, _calibrate_random(cfg, raw_params)
+            )
+        else:
+            params_like = raw_params
+        params = load_tree("params.npz", params_like)
+        int_params = load_tree(
+            "int_params.npz",
+            _calibrate_random(cfg, raw_params),
+        )
 
     ip_leaves = tuple(jax.tree_util.tree_leaves(int_params))
 
@@ -142,7 +186,7 @@ if __name__ == "__main__":
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="model.jaxexport")
-    ap.add_argument("--path", default="pallas", choices=["pallas", "int8", "f32"])
+    ap.add_argument("--path", default="pallas", choices=["mega", "pallas", "int8", "f32"])
     ap.add_argument("--model", default="ITA_single_layer_upsample_shuffle")
     ap.add_argument("--params", default=None, help="float checkpoint .npz")
     ap.add_argument("--backend", default=None)

@@ -51,7 +51,7 @@ def phase_export() -> None:
         str(ROOT / "checkpoints/model_int8.npz"), int_like
     )
     p = export_serving_step(
-        ARTIFACT, CFG, params=params, int_params=int_params, path="pallas"
+        ARTIFACT, CFG, params=params, int_params=int_params, path="mega"
     )
     print(f"exported -> {p} ({p.stat().st_size} bytes) on "
           f"{jax.default_backend()}")
@@ -83,8 +83,9 @@ def phase_serve() -> None:
     vel, pos_x = jnp.float32(5.0), jnp.float32(1.0)
     quat = jnp.asarray([1.0, 0, 0, 0], jnp.float32)
 
-    # Parity: AOT-reloaded program vs in-process jit of the same path.
-    live = make_serving_step(CFG, "pallas")
+    # Parity: AOT-reloaded program vs in-process jit of the same path
+    # (for path='mega' the bundled params ARE the kernel-operand pytree).
+    live = make_serving_step(CFG, meta["path"])
     cmd_aot, _ = jstep(images[0], vel, pos_x, quat, state)
     cmd_live, _ = live(params, int_params, images[0], vel, pos_x, quat,
                        M.zero_state(CFG, 1))

@@ -194,3 +194,27 @@ def test_tokenizer_kron_path_matches_two_stage():
         for i in range(0, 64, 16)
     ])
     np.testing.assert_allclose(big, small, rtol=1e-4, atol=1e-5)
+
+
+def test_mega_aot_roundtrip(tmp_path, setup):
+    """The megakernel serving step exports via jax.export (kernel-operand
+    pytree bundled) and reloads into a working step."""
+    from drone_oa_iree_vit_accelerator_tpu.pipeline.aot import (
+        export_serving_step,
+        load_serving_step,
+    )
+
+    params, int_params, kp = setup
+    art = export_serving_step(
+        tmp_path / "mega.jaxexport", CFG, params=params,
+        int_params=int_params, path="mega",
+    )
+    step, loaded_kp, _, meta = load_serving_step(art)
+    assert meta["path"] == "mega"
+    img = jax.random.randint(jax.random.PRNGKey(0), (60, 90), 0, 256, jnp.uint8)
+    vel, quat = jnp.float32(5.0), jnp.asarray([1.0, 0, 0, 0], jnp.float32)
+    cmd_aot, _ = step(img, vel, jnp.float32(3.0), quat, M.zero_state(CFG, 1))
+    live = make_serving_step(CFG, "mega")
+    cmd_live, _ = live(kp, None, img, vel, jnp.float32(3.0), quat,
+                       M.zero_state(CFG, 1))
+    np.testing.assert_allclose(cmd_aot, cmd_live, rtol=1e-6, atol=1e-6)
