@@ -2,6 +2,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.integer_ita import ita_attention_f32, ita_ffn_f32
+from .calibrate import calibrate_histogram
 from .convert import convert_attention, convert_ffn, convert_model
 from .ptq import calibrate_ptq
 from .qat import (
@@ -194,5 +195,6 @@ __all__ = [
     "convert_ffn",
     "convert_model",
     "calibrate_ptq",
+    "calibrate_histogram",
     "int8_block_fns",
 ]
