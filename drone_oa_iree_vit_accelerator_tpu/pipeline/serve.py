@@ -71,6 +71,18 @@ def make_serving_step(cfg: ModelConfig, path: str = "pallas"):
         fwd = QZ.int8_forward
     elif path == "f32":
         fwd = lambda cfg, p, ip, f, v, q, s: M.forward(cfg, p, f, v, q, s)
+    elif path == "dummy":
+        # DummyHardwareBlock analog (reference models/*/export/model.py:
+        # 12-129): the accelerator region computes x+x — the placeholder
+        # the reference's transform spec pattern-matches and replaces
+        # with the external object. Here the same placeholder exports
+        # through pipeline/aot.py, and the "swap" is re-exporting with a
+        # real path (tools/export_variants.py demonstrates both halves).
+        fwd = lambda cfg, p, ip, f, v, q, s: M.forward(
+            cfg, p, f, v, q, s,
+            attn_fn=lambda i, x: x + x,
+            ffn_fn=lambda i, x: x + x,
+        )
     elif path == "bf16":
         # Half-precision float path — the analog of the reference's
         # --iree-input-demote-f32-to-f16 (the whole model runs f16 on the

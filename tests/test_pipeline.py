@@ -181,3 +181,15 @@ def test_udp_idle_watchdog_resets_state(lib):
     sock.close()
     stop.value = 1
     t.join(timeout=2)
+
+
+def test_export_variants_dummy_swap(tmp_path):
+    """The DummyHardwareBlock-analog export demo: placeholder artifact
+    (x+x accelerator region) and real artifact export from the same
+    weights, both serve, placeholder differs from the real model."""
+    from drone_oa_iree_vit_accelerator_tpu.tools import export_variants
+
+    report = export_variants.main(
+        ["--out-dir", str(tmp_path), "--real-path", "pallas"]
+    )
+    assert report["placeholder_differs_from_real"]
