@@ -66,6 +66,9 @@ def main() -> None:
         )
     params = M.freeze_for_inference(CFG, params)
 
+    # XLA paths run the feature-last (nhwc) tokenizer/fusion glue — a
+    # numeric drop-in (f32 summation order) measured ~2% faster at batch
+    # 1024 (conv + fusion layouts) and neutral at batch 1.
     def make_step(kind):
         if kind == "pallas":
             fwd = lambda p, ip, f, v, q, s: QZ.pallas_forward(CFG, p, ip, f, v, q, s)
@@ -74,13 +77,18 @@ def main() -> None:
                 CFG, p, ip, f, v, q, s, glue_dtype=jnp.bfloat16
             )
         elif kind == "int8":
-            fwd = lambda p, ip, f, v, q, s: QZ.int8_forward(CFG, p, ip, f, v, q, s)
+            fwd = lambda p, ip, f, v, q, s: QZ.int8_forward(
+                CFG, p, ip, f, v, q, s, encoder_layout="nhwc"
+            )
         elif kind == "int8_bf16":
             fwd = lambda p, ip, f, v, q, s: QZ.int8_forward(
-                CFG, p, ip, f, v, q, s, glue_dtype=jnp.bfloat16
+                CFG, p, ip, f, v, q, s, glue_dtype=jnp.bfloat16,
+                encoder_layout="nhwc",
             )
         else:
-            fwd = lambda p, ip, f, v, q, s: M.forward(CFG, p, f, v, q, s)
+            fwd = lambda p, ip, f, v, q, s: M.forward(
+                CFG, p, f, v, q, s, encoder_layout="nhwc"
+            )
 
         @jax.jit
         def step(p, ip, frame_u8, vel, quat, state):
