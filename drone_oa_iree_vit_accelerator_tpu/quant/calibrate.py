@@ -40,24 +40,50 @@ N_BINS = 2048
 
 
 class _StageSink:
-    """Accumulates |x| histograms per stage across calibration batches."""
+    """Accumulates |x| histograms per stage across calibration batches.
+
+    Streaming: each ``add`` folds the batch into a fixed-size (N_BINS)
+    histogram immediately, so host memory is O(stages * N_BINS) instead
+    of O(frames * stages * activation size). When a later batch exceeds
+    the current top edge, the range grows by a power of two and the
+    existing bins are re-binned pairwise — exact for linear edges rooted
+    at 0 (old bin [i*w, (i+1)*w) lands wholly inside new bin i//2).
+    """
 
     def __init__(self):
         self.maxes: dict[str, float] = {}
-        self.samples: dict[str, list[np.ndarray]] = {}
+        self.hists: dict[str, tuple[np.ndarray, float]] = {}
 
     def add(self, name: str, x: jax.Array) -> None:
         a = np.abs(np.asarray(x, np.float32)).ravel()
-        self.samples.setdefault(name, []).append(a)
-        self.maxes[name] = max(self.maxes.get(name, 0.0), float(a.max()))
+        amax = float(a.max()) if a.size else 0.0
+        hist, top = self.hists.get(
+            name, (np.zeros(N_BINS, np.int64), 0.0)
+        )
+        if amax > top:
+            if top > 0.0:
+                factor = 1
+                while top * factor < amax:
+                    factor *= 2
+                while factor > 1:
+                    hist = np.concatenate(
+                        [
+                            hist.reshape(N_BINS // 2, 2).sum(axis=1),
+                            np.zeros(N_BINS // 2, np.int64),
+                        ]
+                    )
+                    top *= 2
+                    factor //= 2
+            else:
+                top = max(amax, 1e-12)
+        h, _ = np.histogram(a, bins=np.linspace(0.0, top, N_BINS + 1))
+        hist = hist + h
+        self.hists[name] = (hist, top)
+        self.maxes[name] = max(self.maxes.get(name, 0.0), amax)
 
     def histogram(self, name: str) -> tuple[np.ndarray, np.ndarray]:
-        top = max(self.maxes[name], 1e-12)
-        edges = np.linspace(0.0, top, N_BINS + 1)
-        hist = np.zeros(N_BINS, np.int64)
-        for a in self.samples[name]:
-            h, _ = np.histogram(a, bins=edges)
-            hist += h
+        hist, top = self.hists[name]
+        edges = np.linspace(0.0, max(top, 1e-12), N_BINS + 1)
         return hist, edges
 
 

@@ -58,18 +58,40 @@ def _load_png_gray(path: pathlib.Path) -> np.ndarray:
     return np.asarray(img, np.uint8)
 
 
+_JOIN_EPS = 0.001  # reference main.cpp:209 "const double epsilon = 0.001"
+
+
 def load_trajectory(traj_dir: str | pathlib.Path) -> Trajectory:
+    """Load one trajectory folder by the reference C++ parser's exact
+    rules (samples/inference_trainingset_comparison/main.cpp:206-239):
+
+    - rows with <= 12 columns are skipped (ragged-row tolerance);
+    - ONLY the consumed columns are parsed — ts (1), vel_des (2),
+      quat wxyz (3-6), ground-truth velocity (10-12); junk in unused
+      columns (7-9) does not invalidate a row;
+    - a row whose consumed cells fail to parse is skipped silently;
+    - each frame joins the FIRST row (file order) whose timestamp is
+      within |csv_ts - img_ts| < 0.001 — an epsilon window, not string
+      or rounded equality.
+    """
     traj_dir = pathlib.Path(traj_dir)
-    rows: dict[float, list[float]] = {}
+    ts_list: list[float] = []
+    row_list: list[list[float]] = []
     with open(traj_dir / "data.csv") as f:
         reader = csv.reader(f)
         next(reader)  # header
         for row in reader:
-            if len(row) > 12:
+            if len(row) > 12:  # main.cpp:218 "row.size() > 12"
                 try:
-                    rows[round(float(row[1]), 3)] = [float(x) for x in row[1:13]]
+                    ts_list.append(float(row[1]))
+                    row_list.append(
+                        [float(row[i]) for i in (2, 3, 4, 5, 6, 10, 11, 12)]
+                    )
                 except ValueError:
+                    if len(ts_list) > len(row_list):
+                        ts_list.pop()
                     continue
+    csv_ts = np.asarray(ts_list, np.float64)
 
     def _ts(png: pathlib.Path) -> float | None:
         try:
@@ -83,14 +105,19 @@ def load_trajectory(traj_dir: str | pathlib.Path) -> Trajectory:
     )
     frames, vel_des, quat, cmd = [], [], [], []
     for png in pngs:
-        ts = round(float(png.stem), 3)
-        r = rows.get(ts)
-        if r is None:
+        ts = float(png.stem)
+        if csv_ts.size == 0:
             continue
+        within = np.abs(csv_ts - ts) < _JOIN_EPS
+        if not within.any():
+            continue
+        # FIRST row in file order inside the window (the C++ scans the
+        # file top-down and returns on the first hit — not the nearest).
+        r = row_list[int(np.argmax(within))]
         frames.append(_load_png_gray(png)[None])
-        vel_des.append([r[1]])
-        quat.append(r[2:6])
-        cmd.append(r[9:12])
+        vel_des.append([r[0]])
+        quat.append(r[1:5])
+        cmd.append(r[5:8])
     if not frames:
         raise ValueError(f"no matched frames in {traj_dir}")
     return Trajectory(

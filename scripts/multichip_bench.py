@@ -30,7 +30,15 @@ import pathlib
 import sys
 import time
 
-MODE = "cpu8" if "--mode" not in sys.argv else sys.argv[sys.argv.index("--mode") + 1]
+# Pre-import scan (jax backend config must happen before first use).
+# Handles both "--mode tpu1" and "--mode=tpu1" forms; argparse below
+# re-validates against its choices.
+MODE = "cpu8"
+for _i, _a in enumerate(sys.argv):
+    if _a == "--mode" and _i + 1 < len(sys.argv):
+        MODE = sys.argv[_i + 1]
+    elif _a.startswith("--mode="):
+        MODE = _a.split("=", 1)[1]
 
 import jax  # noqa: E402
 

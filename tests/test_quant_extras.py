@@ -96,3 +96,62 @@ def test_compile_matrix_all_variants(cfg, path):
     compiled = step.lower(*args).compile()
     cmd, _ = compiled(*args)
     assert cmd.shape == (3,)
+
+
+def test_31bit_requant_variant():
+    """The reference's ONNX backup flow encodes requant multipliers at 31
+    bits (onnx_ITA_verification.py:62-69: mult = round(scale * 2**31),
+    shift = 31, int64 accumulate). ops/quant parameterizes the same
+    encoding via bits=; exercise it at 31 against the oracle and the
+    float rescale (VERDICT r2: close the 31-bit gap)."""
+    import ita_oracle as oracle
+    from drone_oa_iree_vit_accelerator_tpu.ops import quant as Q
+
+    rng = np.random.default_rng(7)
+    accs = rng.integers(-3_000_000, 3_000_000, size=(64,)).astype(np.int64)
+    for s64 in [0.0137, 0.25, 1.0 / 3.0, 0.9, 5e-4]:
+        # f32-quantize the scale first: the device path (hw_params_jnp)
+        # sees f32, and a 24-bit mantissa makes mant * 2**31 exact.
+        s = float(np.float32(s64))
+        # (a) host frexp encoding agrees with the independent oracle.
+        assert Q.calculate_hw_params(s, bits=31) == oracle.calculate_hw_params(
+            s, bits=31
+        )
+        # (b) jnp (traceable) encoding agrees with the host encoding.
+        mult, shift = Q.calculate_hw_params(s, bits=31)
+        mj, sj = Q.hw_params_jnp(jnp.float32(s), bits=31)
+        assert (int(mj), int(sj)) == (mult, shift)
+        # (c) 31-bit requant (int64, oracle arithmetic) reproduces the
+        # float rescale EXACTLY on every sample — the point of the wide
+        # multiplier (8-bit params are only within 1 LSB). half_up vs
+        # floor(x+0.5): identical by construction here.
+        got = oracle.requant(accs, mult, shift, rounding="half_up")
+        want = np.clip(np.floor(accs * np.float64(s) + 0.5), -128, 127)
+        np.testing.assert_array_equal(got, want.astype(np.int8))
+        # ... and the reference's fixed-shift form (mult=round(s*2**31),
+        # shift=31, onnx_ITA_verification.py:62-69) agrees within 1 LSB
+        # (it drops exponent bits for s < 0.5, so exact equality is not
+        # guaranteed at ties).
+        m_fix = int(round(s * 2**31))
+        got_fix = oracle.requant(accs, m_fix, 31, rounding="half_up")
+        assert int(np.abs(got.astype(np.int32) - got_fix.astype(np.int32)).max()) <= 1
+
+
+def test_tokenizer_forward_nchw_kron_path_matches_small_batch():
+    """tokenizer_forward's b>=64 kron-resize branch (models/layers.py)
+    equals batched sub-64 calls through the two-stage bilinear_resize
+    path — pins the batch-size-dependent numeric fork in the NCHW
+    tokenizer (ADVICE r2)."""
+    from drone_oa_iree_vit_accelerator_tpu.models import layers as L
+
+    key = jax.random.PRNGKey(11)
+    params = M.init_params(CFG, key)
+    frames = jax.random.uniform(key, (64, 1, 60, 90), jnp.float32)
+    big = L.tokenizer_forward(frames, params["tokenizer"], CFG)
+    small = jnp.concatenate(
+        [
+            L.tokenizer_forward(frames[i : i + 16], params["tokenizer"], CFG)
+            for i in range(0, 64, 16)
+        ]
+    )
+    np.testing.assert_allclose(big, small, rtol=1e-4, atol=1e-5)
