@@ -1,30 +1,40 @@
 """Benchmark: camera->command serving on one chip (flagship model).
 
-Methodology (round 2): all performance numbers are TRUE DEVICE TIMES from
-jax.profiler device traces (utils/device_timing.py) — on this host the
-relay transport acks block_until_ready before the chip finishes, so
-host-observed wall time is not a valid latency measurement (measured:
-chained 4096^3 bf16 matmuls "completing" at an implied 769 TFLOP/s on a
-197 TFLOP/s chip). Round 1's 12.5M frames/s headline was such an
-artifact; the honest numbers below are ~30x smaller and carry an MFU
-cross-check (VERDICT r1 items 2/8/10).
+Methodology (round 2+): all performance numbers are TRUE DEVICE TIMES
+from jax.profiler device traces (utils/device_timing.py) — on this host
+the relay transport acks block_until_ready before the chip finishes, so
+host-observed wall time is not a valid latency measurement. Latency
+percentiles (p50/p90/p99) come from the per-execution spans of the same
+traces (round-3: VERDICT r2 item 3).
 
 Paths, each ONE jitted program (fused preprocess + model):
+- mega        : whole-model Pallas megakernel (batch-1 serving champion)
+- fused       : two-kernel (Pallas encoder + Pallas tail) serving step
 - pallas      : fused Pallas int8 ITA encoder kernel inside the model
-- pallas_bf16 : same + bf16 float glue (the deployment analog of the
-                reference's --iree-input-demote-f32-to-f16)
-- int8        : same integer arithmetic through plain XLA ops
+- int8 / int8_bf16 : same integer arithmetic through plain XLA ops
+- turbo       : batched redesign (round 3) — factored conv+resize
+                tokenizer GEMMs, Pallas int8 encoder with the batched
+                core, precomposed fusion+decoder matrix
+                (quant/batched.py); bf16 glue
+- turbo_int8  : turbo glue with the XLA int8 encoder
 - f32         : float model
 
-Headline = frames/s/chip at the best measured (path, batch); batch-1
-device latency reported alongside (reference-style serve loop). MFU uses
-the XLA-reported FLOPs of the f32 program (the model's canonical work;
-integer-path multiply-accumulates counted identically) against the v5e
-bf16 peak of 197 TFLOP/s.
+MFU is reported against BOTH peaks (VERDICT r2 item 2): the v5e bf16
+peak (197 TFLOP/s) and the chip's int8 peak (394 TOP/s) for paths whose
+encoder multiply-accumulates are int8. ``roofline_mixed_pct`` is the
+honest composite: time lower bound = int_flops/int8_peak +
+float_flops/bf16_peak over the measured time.
 
-Prints ONE JSON line. Baseline: the reference publishes no end-to-end
-fps/latency (BASELINE.md); the north star is >=10k frames/s/chip
-(BASELINE.json), so vs_baseline = headline / 10_000.
+Headline = frames/s/chip at the measured optimum over (path, batch)
+including a batch sweep {256, 1024, 2048, 4096} on the winning path
+(VERDICT r2 item 8). A second section benchmarks the ITA base 2-layer
+E=128 config (VERDICT r2 item 6). Prints ONE JSON line; the per-op
+device-time breakdown of the headline program is written to
+docs/op_breakdown_bench.json.
+
+Baseline: the reference publishes no end-to-end fps/latency
+(BASELINE.md); the north star is >=10k frames/s/chip (BASELINE.json),
+so vs_baseline = headline / 10_000.
 """
 
 from __future__ import annotations
@@ -36,16 +46,61 @@ import jax
 import jax.numpy as jnp
 
 NORTH_STAR_FPS = 10_000.0
-PEAK_FLOPS = 197e12  # v5e bf16 peak (f32 matmuls run as bf16 passes)
+PEAK_BF16 = 197e12  # v5e bf16 peak
+PEAK_INT8 = 394e12  # v5e int8 peak (2x bf16)
+
+# Paths whose encoder matmuls run int8 (dual-peak MFU accounting).
+INT_PATHS = {"int8", "int8_bf16", "pallas", "pallas_bf16", "turbo",
+             "turbo_int8", "fused", "mega"}
+
+
+def encoder_int_flops(cfg) -> float:
+    """Multiply-accumulate FLOPs (2*MACs) of the int8 encoder region per
+    frame: QKV/logits/AV/out projections + FFN, per layer."""
+    s, e, p, f = cfg.S, cfg.E, cfg.P, cfg.F
+    per_layer = (
+        3 * 2 * s * e * p      # Q/K/V projections
+        + 2 * s * s * p        # QK^T logits
+        + 2 * s * s * p        # AV
+        + 2 * s * p * e        # out projection
+        + 2 * s * e * f        # fc1
+        + 2 * s * f * e        # fc2
+    )
+    return float(cfg.num_layers * per_layer)
+
+
+def path_metrics(t, batch, flops_per_frame, int_flops, is_int):
+    ms = t.per_call_ms
+    sec = ms / 1e3
+    total = batch * flops_per_frame
+    row = {
+        "device_ms_per_call": round(ms, 4),
+        "fps": round(batch / ms * 1e3, 1),
+        "mfu_bf16_pct": round(total / sec / PEAK_BF16 * 100, 3),
+        "n_timed": t.n_executions,
+        **{k: round(v, 5) for k, v in t.percentiles().items()},
+    }
+    if is_int:
+        row["mfu_int8_pct"] = round(total / sec / PEAK_INT8 * 100, 3)
+        bound_s = batch * (
+            int_flops / PEAK_INT8 + (flops_per_frame - int_flops) / PEAK_BF16
+        )
+        row["roofline_mixed_pct"] = round(bound_s / sec * 100, 2)
+    return row
 
 
 def main() -> None:
     from drone_oa_iree_vit_accelerator_tpu.core import (
+        ITA_BASE,
         ITA_SINGLE_LAYER_UPSAMPLE_SHUFFLE as CFG,
     )
     from drone_oa_iree_vit_accelerator_tpu.models import params_io
     from drone_oa_iree_vit_accelerator_tpu.models import vit_lstm as M
     from drone_oa_iree_vit_accelerator_tpu import quant as QZ
+    from drone_oa_iree_vit_accelerator_tpu.quant.batched import (
+        make_tail,
+        turbo_forward,
+    )
     from drone_oa_iree_vit_accelerator_tpu.utils.device_timing import (
         device_time_per_call,
     )
@@ -64,7 +119,9 @@ def main() -> None:
         int_params = params_io.load_params(
             str(ckpt_dir / "model_int8.npz"), int_params
         )
+    tail = make_tail(CFG, params)
     params = M.freeze_for_inference(CFG, params)
+    int_flops = encoder_int_flops(CFG)
 
     # XLA paths run the feature-last (nhwc) tokenizer/fusion glue — a
     # numeric drop-in (f32 summation order) measured ~2% faster at batch
@@ -72,10 +129,6 @@ def main() -> None:
     def make_step(kind):
         if kind == "pallas":
             fwd = lambda p, ip, f, v, q, s: QZ.pallas_forward(CFG, p, ip, f, v, q, s)
-        elif kind == "pallas_bf16":
-            fwd = lambda p, ip, f, v, q, s: QZ.pallas_forward(
-                CFG, p, ip, f, v, q, s, glue_dtype=jnp.bfloat16
-            )
         elif kind == "int8":
             fwd = lambda p, ip, f, v, q, s: QZ.int8_forward(
                 CFG, p, ip, f, v, q, s, encoder_layout="nhwc"
@@ -84,6 +137,14 @@ def main() -> None:
             fwd = lambda p, ip, f, v, q, s: QZ.int8_forward(
                 CFG, p, ip, f, v, q, s, glue_dtype=jnp.bfloat16,
                 encoder_layout="nhwc",
+            )
+        elif kind == "turbo":
+            fwd = lambda p, ip, f, v, q, s: turbo_forward(
+                CFG, p, ip, tail, f, v, q, s, encoder="pallas", max_nb=16
+            )
+        elif kind == "turbo_int8":
+            fwd = lambda p, ip, f, v, q, s: turbo_forward(
+                CFG, p, ip, tail, f, v, q, s, encoder="int8"
             )
         else:
             fwd = lambda p, ip, f, v, q, s: M.forward(
@@ -97,53 +158,55 @@ def main() -> None:
 
         return step
 
-    paths = ("f32", "int8", "int8_bf16", "pallas", "pallas_bf16")
     results: dict[str, dict] = {}
     flops_per_frame = None
+    traces: dict[str, object] = {}
 
-    for batch, ncalls in ((1, 80), (1024, 12)):
+    def run_combo(kind, batch, ncalls, cfg=CFG, pr=None, ipr=None):
+        nonlocal flops_per_frame
+        pr = params if pr is None else pr
+        ipr = int_params if ipr is None else ipr
         vel = jnp.ones((batch, 1), jnp.float32)
         quat = jnp.tile(jnp.asarray([[1.0, 0, 0, 0]], jnp.float32), (batch, 1))
-        state = M.zero_state(CFG, batch)
+        state = M.zero_state(cfg, batch)
         # Distinct frame per call: the relay memoizes identical re-invocations.
         frames = [
             jax.random.randint(
-                jax.random.PRNGKey(i), (batch, 1, 60, 90), 0, 256, jnp.uint8
+                jax.random.PRNGKey(1000 * batch + i), (batch, 1, 60, 90), 0,
+                256, jnp.uint8,
             )
             for i in range(ncalls + 1)
         ]
         jax.block_until_ready(frames)
+        step = make_step(kind)
+        args = [(pr, ipr, frames[i + 1], vel, quat, state) for i in range(ncalls)]
+        warm = (pr, ipr, frames[0], vel, quat, state)
+        if kind == "f32" and batch == 1 and flops_per_frame is None:
+            comp = step.lower(*warm).compile()
+            flops_per_frame = comp.cost_analysis().get("flops", 0.0)
+        t = device_time_per_call(step, args, warmup_args=warm)
+        if t.n_executions < ncalls:  # trace missed tail executions
+            t = device_time_per_call(step, args, warmup_args=warm, settle_s=3.0)
+        return t
+
+    for batch, ncalls, paths in (
+        (1, 80, ("f32", "int8_bf16", "pallas")),
+        (1024, 12, ("f32", "int8", "int8_bf16", "pallas", "turbo",
+                    "turbo_int8")),
+    ):
         for kind in paths:
-            step = make_step(kind)
-            args = [
-                (params, int_params, frames[i + 1], vel, quat, state)
-                for i in range(ncalls)
-            ]
-            warm = (params, int_params, frames[0], vel, quat, state)
-            if kind == "f32" and batch == 1 and flops_per_frame is None:
-                comp = step.lower(*warm).compile()
-                flops_per_frame = comp.cost_analysis().get("flops", 0.0)
-            t = device_time_per_call(step, args, warmup_args=warm)
-            if t.n_executions < ncalls:  # trace missed tail executions
-                t = device_time_per_call(step, args, warmup_args=warm, settle_s=3.0)
-            ms = t.per_call_ms
-            results[f"{kind}_b{batch}"] = {
-                "device_ms_per_call": round(ms, 4),
-                "fps": round(batch / ms * 1e3, 1),
-                "mfu_pct": round(
-                    batch * flops_per_frame / (ms / 1e3) / PEAK_FLOPS * 100, 3
-                ),
-                "n_timed": t.n_executions,
-            }
+            t = run_combo(kind, batch, ncalls)
+            traces[f"{kind}_b{batch}"] = t
+            results[f"{kind}_b{batch}"] = path_metrics(
+                t, batch, flops_per_frame, int_flops, kind in INT_PATHS
+            )
 
     # The two-kernel deployment config (fused Pallas encoder + fused
-    # Pallas decoder/LSTM/head tail, VERDICT r1 item 2): serving-shaped
-    # (batch 1, raw (60, 90) camera frame, post-processing included — it
-    # does strictly MORE work per frame than the other batch-1 paths).
-    # The step donates its state argument, so each timed call gets a
-    # fresh state buffer.
+    # Pallas decoder/LSTM/head tail): serving-shaped (batch 1, raw
+    # (60, 90) camera frame, post-processing included).
     from drone_oa_iree_vit_accelerator_tpu.pipeline.serve import (
         make_fused_serving_step,
+        make_serving_step,
     )
 
     fused_step = make_fused_serving_step(CFG)
@@ -162,25 +225,12 @@ def main() -> None:
         warmup_args=(params, int_params, fused_imgs[0], *fused_common,
                      M.zero_state(CFG, 1)),
     )
-    results["fused_b1"] = {
-        "device_ms_per_call": round(t.per_call_ms, 4),
-        "fps": round(1.0 / t.per_call_ms * 1e3, 1),
-        "mfu_pct": round(
-            flops_per_frame / (t.per_call_ms / 1e3) / PEAK_FLOPS * 100, 3
-        ),
-        "n_timed": t.n_executions,
-    }
+    results["fused_b1"] = path_metrics(t, 1, flops_per_frame, int_flops, True)
 
-    # The whole-model megakernel (ops/pallas/model_kernel.py): tokenizer
-    # conv+resize in XLA, everything else — LN, int8 encoder, fusion,
-    # int8 per-channel decoder+LSTM, head, postprocess — in ONE
-    # pallas_call with grid-pipelined weight DMA. The flagship serving
-    # configuration.
+    # The whole-model megakernel (ops/pallas/model_kernel.py): the
+    # flagship batch-1 serving configuration.
     from drone_oa_iree_vit_accelerator_tpu.ops.pallas.model_kernel import (
         make_flagship_kernel_params,
-    )
-    from drone_oa_iree_vit_accelerator_tpu.pipeline.serve import (
-        make_serving_step,
     )
 
     kp = make_flagship_kernel_params(CFG, params, int_params)
@@ -192,21 +242,111 @@ def main() -> None:
         warmup_args=(kp, None, fused_imgs[0], *fused_common,
                      M.zero_state(CFG, 1)),
     )
-    results["mega_b1"] = {
-        "device_ms_per_call": round(t.per_call_ms, 4),
-        "fps": round(1.0 / t.per_call_ms * 1e3, 1),
-        "mfu_pct": round(
-            flops_per_frame / (t.per_call_ms / 1e3) / PEAK_FLOPS * 100, 3
-        ),
-        "n_timed": t.n_executions,
-    }
+    results["mega_b1"] = path_metrics(t, 1, flops_per_frame, int_flops, True)
+    traces["mega_b1"] = t
+
+    # Batch sweep on the best batched path (VERDICT r2 item 8): the
+    # throughput optimum is measured, not assumed to sit at 1024.
+    best1024_kind = max(
+        (k for k in results if k.endswith("_b1024")),
+        key=lambda k: results[k]["fps"],
+    ).rsplit("_b", 1)[0]
+    for batch, ncalls in ((256, 24), (2048, 8), (4096, 6)):
+        t = run_combo(best1024_kind, batch, ncalls)
+        key_ = f"{best1024_kind}_b{batch}"
+        traces[key_] = t
+        results[key_] = path_metrics(
+            t, batch, flops_per_frame, int_flops, best1024_kind in INT_PATHS
+        )
+
+    # ITA base (2-layer E=128) — the reference's other deployed shape
+    # (VERDICT r2 item 6): measured serving story on its best paths.
+    base_params = M.init_params(ITA_BASE, jax.random.PRNGKey(7))
+    base_int, _ = QZ.calibrate_ptq(ITA_BASE, base_params, frames_cal)
+    base_tail = make_tail(ITA_BASE, base_params)
+    base_params = M.freeze_for_inference(ITA_BASE, base_params)
+    base_int_flops = encoder_int_flops(ITA_BASE)
+    base_flops = None
+    base = {}
+
+    def base_step(kind):
+        if kind == "pallas":
+            fwd = lambda p, ip, f, v, q, s: QZ.pallas_forward(
+                ITA_BASE, p, ip, f, v, q, s
+            )
+        elif kind == "turbo":
+            fwd = lambda p, ip, f, v, q, s: turbo_forward(
+                ITA_BASE, p, ip, base_tail, f, v, q, s, encoder="pallas",
+                max_nb=16,
+            )
+        else:
+            fwd = lambda p, ip, f, v, q, s: M.forward(
+                ITA_BASE, p, f, v, q, s, encoder_layout="nhwc"
+            )
+
+        @jax.jit
+        def step(p, ip, frame_u8, vel, quat, state):
+            frame = frame_u8.astype(jnp.float32) / 255.0
+            return fwd(p, ip, frame, vel, quat, state)
+
+        return step
+
+    for kind, batch, ncalls in (
+        ("f32", 1, 40), ("pallas", 1, 40), ("turbo", 1024, 8),
+    ):
+        vel = jnp.ones((batch, 1), jnp.float32)
+        quat = jnp.tile(jnp.asarray([[1.0, 0, 0, 0]], jnp.float32), (batch, 1))
+        state = M.zero_state(ITA_BASE, batch)
+        frames = [
+            jax.random.randint(
+                jax.random.PRNGKey(7000 + 100 * batch + i),
+                (batch, 1, 60, 90), 0, 256, jnp.uint8,
+            )
+            for i in range(ncalls + 1)
+        ]
+        jax.block_until_ready(frames)
+        step = base_step(kind)
+        args = [
+            (base_params, base_int, frames[i + 1], vel, quat, state)
+            for i in range(ncalls)
+        ]
+        warm = (base_params, base_int, frames[0], vel, quat, state)
+        if kind == "f32" and base_flops is None:
+            base_flops = (
+                step.lower(*warm).compile().cost_analysis().get("flops", 0.0)
+            )
+        t = device_time_per_call(step, args, warmup_args=warm)
+        if t.n_executions < ncalls:
+            t = device_time_per_call(step, args, warmup_args=warm, settle_s=3.0)
+        base[f"{kind}_b{batch}"] = path_metrics(
+            t, batch, base_flops, base_int_flops, kind in INT_PATHS
+        )
 
     best_kind, best = max(
-        ((k, v) for k, v in results.items() if k.endswith("_b1024")),
+        ((k, v) for k, v in results.items() if "_b" in k and not
+         k.endswith("_b1")),
         key=lambda kv: kv[1]["fps"],
     )
     b1 = {k: v for k, v in results.items() if k.endswith("_b1")}
     best_b1_kind, best_b1 = max(b1.items(), key=lambda kv: kv[1]["fps"])
+
+    # Per-op breakdown of the headline program (VERDICT r2 items 1-2).
+    t_head = traces.get(best_kind)
+    breakdown_file = pathlib.Path(__file__).parent / "docs" / "op_breakdown_bench.json"
+    if t_head is not None:
+        n = max(t_head.n_executions, 1)
+        breakdown_file.write_text(json.dumps({
+            "config": best_kind,
+            "device_ms_per_call": round(t_head.per_call_ms, 4),
+            "categories": [
+                {**r, "us_per_call": round(r["ms"] / n * 1e3, 2)}
+                for r in t_head.op_breakdown(top=12, by_category=True)
+            ],
+            "ops": [
+                {**r, "us_per_call": round(r["ms"] / n * 1e3, 2)}
+                for r in t_head.op_breakdown(top=25)
+            ],
+        }, indent=1))
 
     out = {
         "metric": "frames/sec/chip (flagship serving, true device time)",
@@ -214,13 +354,21 @@ def main() -> None:
         "unit": "frames/s",
         "vs_baseline": round(best["fps"] / NORTH_STAR_FPS, 4),
         "headline_config": best_kind,
-        "headline_mfu_pct": best["mfu_pct"],
+        "headline_mfu_int8_pct": best.get("mfu_int8_pct"),
+        "headline_mfu_bf16_pct": best["mfu_bf16_pct"],
+        "headline_roofline_mixed_pct": best.get("roofline_mixed_pct"),
+        "headline_p99_ms": best.get("p99_ms"),
         "batch1_best_config": best_b1_kind,
         "batch1_fps": best_b1["fps"],
         "batch1_device_us": round(best_b1["device_ms_per_call"] * 1e3, 2),
+        "batch1_p50_us": round(best_b1.get("p50_ms", 0) * 1e3, 2),
+        "batch1_p99_us": round(best_b1.get("p99_ms", 0) * 1e3, 2),
         "model_flops_per_frame": flops_per_frame,
+        "encoder_int_flops_per_frame": int_flops,
         "paths": results,
-        "timing_source": "jax.profiler device trace (host wall-time is a relay artifact on this platform; round-1 numbers were inflated ~30x)",
+        "ita_base": base,
+        "op_breakdown_file": "docs/op_breakdown_bench.json",
+        "timing_source": "jax.profiler device trace (host wall-time is a relay artifact on this platform); percentiles from per-execution spans",
         "backend": jax.default_backend(),
         "device_kind": jax.devices()[0].device_kind,
     }

@@ -118,8 +118,13 @@ def _integer_softmax(a_i32: jax.Array) -> jax.Array:
     docstring for the algorithm derivation)."""
     row_max = jnp.max(a_i32, axis=-1, keepdims=True)
     diff = row_max - a_i32
-    shift = jnp.floor(diff.astype(jnp.float32) + 0.5).astype(jnp.int32)
-    exp = jnp.where(shift > 8, 0, 256 >> jnp.minimum(shift, 8))
+    # eps_max = 1.0 => the exp shift IS the integer max-diff:
+    # floor(d*1.0 + 0.5) == d for integer d >= 0, and 256 >> s == 0 for
+    # every s in [9, 31], so the reference's where(shift > 8, 0, ...)
+    # guard collapses into the clamped shift. Exact (bit-identical) and
+    # 6 fewer VPU passes over the (rows, S) logits — the kernel is
+    # VPU-bound at batch (726 us/call measured before this).
+    exp = 256 >> jnp.minimum(diff, 31)
     denom = jnp.maximum(jnp.sum(exp, axis=-1, keepdims=True), 1)
     inv = _floor_div_u25(_SOFTMAX_NUM, denom)
     return (exp * inv) >> 16  # uint8 range, kept i32 for the AV matmul
@@ -145,14 +150,15 @@ def _integer_softmax_streaming(a_i32: jax.Array, width: int = 16) -> jax.Array:
             cur_sum = cur_sum >> jnp.minimum(new_max - cur_max, 31)
             cur_max = new_max
         d = cur_max - grp
+        # 256 >> s == 0 for s in [9, 31]: the where(d > 8, 0, ...) guard
+        # collapses into the clamped shift (see _integer_softmax).
         cur_sum = cur_sum + jnp.sum(
-            jnp.where(d > 8, 0, 256 >> jnp.minimum(d, 8)),
-            axis=-1, keepdims=True,
+            256 >> jnp.minimum(d, 31), axis=-1, keepdims=True
         )
     denom = jnp.maximum(cur_sum, 1)
     inv = _floor_div_u25(_SOFTMAX_NUM, denom)
     diff = cur_max - a_i32
-    exp = jnp.where(diff > 8, 0, 256 >> jnp.minimum(diff, 8))
+    exp = 256 >> jnp.minimum(diff, 31)
     return (exp * inv) >> 16
 
 
@@ -260,11 +266,114 @@ def encoder_core(
     return _layer_norm(h + ffn_f, ln2_g_ref[0], ln2_b_ref[0])
 
 
+def encoder_core_batched(
+    x,             # (nb*S, E) f32 value
+    softmax_mode,  # static: 'onepass' | 'streaming'
+    nb,            # static: sequences folded into the row axis
+    seq,           # static: sequence length S
+    iscal_ref, fscal_ref,
+    wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+    wo_ref, bo_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+    ln1_g_ref, ln1_b_ref, ln2_g_ref, ln2_b_ref,
+):
+    """Throughput variant of encoder_core: identical integer arithmetic
+    (same requant/softmax helpers), restructured so every stage runs
+    BATCHED across the nb folded sequences instead of an 8-way serial
+    python loop —
+
+    - requant + integer softmax run ONCE on the stacked (nb*S, S)
+      logits (full VPU lanes, one floor-division pass instead of nb
+      lane-starved ones);
+    - only the inherently per-sequence (S,P)x(P,S) MXU dots stay in the
+      unrolled loop. (A true batch-dim dot_general was tried first and
+      aborts Mosaic's ApplyVectorLayout pass: vector_extract_rule
+      "limits[i] <= dim(i)" — batch the VPU, loop the MXU.)
+
+    Bit-exactness: same ops, same order per element; the pallas-vs-golden
+    tests cover this path via ita_encoder_block(batched_core=True).
+    """
+    i8 = jnp.int8
+    s_attn_in = fscal_ref[0, _FS_ATTN_IN]
+    x_i8 = _quantize(x, s_attn_in)
+
+    qp = _requant(
+        _int_dot(x_i8, wq_ref[:]) + bq_ref[0],
+        iscal_ref[0, _IQ_MULT], iscal_ref[0, _IQ_SHIFT],
+    )
+    kp = _requant(
+        _int_dot(x_i8, wk_ref[:]) + bk_ref[0],
+        iscal_ref[0, _IK_MULT], iscal_ref[0, _IK_SHIFT],
+    )
+    vp = _requant(
+        _int_dot(x_i8, wv_ref[:]) + bv_ref[0],
+        iscal_ref[0, _IV_MULT], iscal_ref[0, _IV_SHIFT],
+    )
+
+    qp8 = qp.astype(i8)
+    kp8 = kp.astype(i8)
+    logits = jnp.concatenate(
+        [
+            jax.lax.dot_general(
+                qp8[i * seq : (i + 1) * seq], kp8[i * seq : (i + 1) * seq],
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32,
+            )  # (S, S); NO 1/sqrt(d)
+            for i in range(nb)
+        ],
+        axis=0,
+    )  # (nb*S, S)
+    a_i8 = _requant(
+        logits, iscal_ref[0, _IQK_MULT], iscal_ref[0, _IQK_SHIFT]
+    )
+    if softmax_mode == "streaming":
+        a_u8 = _integer_softmax_streaming(a_i8)  # (nb*S, S) in [0,255]
+    else:
+        a_u8 = _integer_softmax(a_i8)
+    # AV with the exact offset decomposition (see encoder_core).
+    p8 = (a_u8 - 128).astype(i8)
+    vp8 = vp.astype(i8)
+    av = jnp.concatenate(
+        [
+            _int_dot(p8[i * seq : (i + 1) * seq], vp8[i * seq : (i + 1) * seq])
+            + 128
+            * jnp.sum(vp[i * seq : (i + 1) * seq], axis=0, keepdims=True)
+            for i in range(nb)
+        ],
+        axis=0,
+    )
+    ctx = _requant(av, iscal_ref[0, _IAV_MULT], iscal_ref[0, _IAV_SHIFT])
+
+    attn_out_i8 = _requant(
+        _int_dot(ctx.astype(i8), wo_ref[:]) + bo_ref[0],
+        iscal_ref[0, _IO_MULT], iscal_ref[0, _IO_SHIFT],
+    )
+
+    attn_f = attn_out_i8.astype(jnp.float32) * fscal_ref[0, _FS_ATTN_OUT]
+    h = _layer_norm(x + attn_f, ln1_g_ref[0], ln1_b_ref[0])
+
+    h_i8 = _quantize(h, fscal_ref[0, _FS_FFN_IN])
+    ff1 = _requant(
+        _int_dot(h_i8, w1_ref[:]) + b1_ref[0],
+        iscal_ref[0, _IFC1_MULT], iscal_ref[0, _IFC1_SHIFT],
+    )
+    relu = _requant(
+        jnp.maximum(ff1, 0),
+        iscal_ref[0, _IRELU_MULT], iscal_ref[0, _IRELU_SHIFT],
+    )
+    ff2 = _requant(
+        _int_dot(relu.astype(i8), w2_ref[:]) + b2_ref[0],
+        iscal_ref[0, _IFC2_MULT], iscal_ref[0, _IFC2_SHIFT],
+    )
+
+    ffn_f = ff2.astype(jnp.float32) * fscal_ref[0, _FS_FFN_OUT]
+    return _layer_norm(h + ffn_f, ln2_g_ref[0], ln2_b_ref[0])
+
+
 def _encoder_block_kernel(
     softmax_mode,  # static (functools.partial): 'onepass' | 'streaming'
     nb,            # static: sequences per grid step
     seq,           # static: sequence length S
     transposed_io, # static: blocks arrive/leave as (nb, E, S) channel-first
+    batched_core,  # static: use the batched-attention core (throughput)
     iscal_ref,  # SMEM (1, 20) i32
     fscal_ref,  # SMEM (1, 4) f32
     x_ref,      # VMEM (nb, S, E) f32 — or (nb, E, S) when transposed_io
@@ -285,7 +394,8 @@ def _encoder_block_kernel(
         e = x_ref.shape[-1]
         x = x_ref[...].reshape(nb * seq, e)  # (nb*S, E) f32
 
-    out = encoder_core(x, softmax_mode, nb, seq, iscal_ref, fscal_ref, *w_refs)
+    core = encoder_core_batched if batched_core else encoder_core
+    out = core(x, softmax_mode, nb, seq, iscal_ref, fscal_ref, *w_refs)
     if transposed_io:
         out_ref[...] = jnp.transpose(out.reshape(nb, seq, e), (0, 2, 1))
     else:
@@ -294,7 +404,10 @@ def _encoder_block_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("interpret", "softmax_mode", "transposed_io", "max_nb"),
+    static_argnames=(
+        "interpret", "softmax_mode", "transposed_io", "max_nb",
+        "batched_core",
+    ),
 )
 def ita_encoder_block(
     x: jax.Array,  # (B, S, E) f32 — or (B, E, S) when transposed_io
@@ -306,6 +419,7 @@ def ita_encoder_block(
     softmax_mode: str = "onepass",
     transposed_io: bool = False,
     max_nb: int = 8,
+    batched_core: bool = False,
 ) -> jax.Array:
     """One fused quantized encoder layer on TPU (B small; grid over B).
 
@@ -348,7 +462,8 @@ def ita_encoder_block(
     xblock = (nb, e, s) if transposed_io else (nb, s, e)
     return pl.pallas_call(
         functools.partial(
-            _encoder_block_kernel, softmax_mode, nb, s, transposed_io
+            _encoder_block_kernel, softmax_mode, nb, s, transposed_io,
+            batched_core,
         ),
         grid=(b // nb,),
         in_specs=[

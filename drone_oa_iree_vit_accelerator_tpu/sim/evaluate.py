@@ -96,12 +96,24 @@ def evaluate(
 ) -> dict[str, Any]:
     """Run N parallel closed-loop rollouts and aggregate."""
     key = jax.random.PRNGKey(seed)
-    if params is None:
+    if params is None and path != "expert":
         params = M.init_params(cfg, key)
-    if int_params is None and path in ("int8", "pallas"):
+    if int_params is None and path in ("int8", "pallas", "turbo", "mega"):
         from ..pipeline.serve import _calibrate_random
 
         int_params = _calibrate_random(cfg, params)
+    if path == "turbo" and not (
+        isinstance(int_params, tuple) and len(int_params) == 2
+    ):
+        from ..quant.batched import make_tail
+
+        int_params = (int_params, make_tail(cfg, params))
+    if path == "mega" and not hasattr(params, "tok"):
+        # The megakernel consumes its packed operand pytree, exactly as
+        # the serving engine deploys it (pipeline/serve.py path='mega').
+        from ..ops.pallas.model_kernel import make_flagship_kernel_params
+
+        params = make_flagship_kernel_params(cfg, params, int_params)
 
     worlds = sample_worlds(jax.random.fold_in(key, 1), n_rollouts, wcfg)
     run = jax.jit(
@@ -126,7 +138,10 @@ if __name__ == "__main__":
     ap.add_argument("--vel", type=float, default=5.0)
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--path", default="f32", choices=["f32", "int8", "pallas"])
+    ap.add_argument(
+        "--path", default="f32",
+        choices=["f32", "int8", "pallas", "turbo", "mega", "expert"],
+    )
     ap.add_argument("--out", default="evaluation.yaml")
     ap.add_argument("--backend", default=None)
     args = ap.parse_args()

@@ -10,6 +10,7 @@ camera, and dynamics fused. Batch shards over the device mesh
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -39,8 +40,16 @@ class RolloutResult(NamedTuple):
     final_x: jax.Array  # (B,) f32
 
 
-def _policy_step(cfg, params, int_params, images_u8, vel_des, state, path):
-    """Batched policy: (B,60,90) u8 -> (B,3) cmd; post-processing in-jit."""
+def _policy_step(cfg, params, int_params, images_u8, vel_des, state, path,
+                 pos_x=None):
+    """Batched policy: (B,60,90) u8 -> (B,3) cmd; post-processing in-jit.
+
+    Returns (cmd, new_state, postprocessed): for most paths ``cmd`` is
+    the RAW model output (postprocessed=False, the rollout tick applies
+    postprocess_velocity); the 'mega' megakernel path postprocesses
+    in-kernel (model_kernel._lstm_head_postprocess) and returns the
+    final velocity (postprocessed=True).
+    """
     frames = images_u8.astype(jnp.float32)[:, None, :, :] / 255.0
     b = frames.shape[0]
     quat = jnp.zeros((b, 4)).at[:, 0].set(1.0)
@@ -54,11 +63,56 @@ def _policy_step(cfg, params, int_params, images_u8, vel_des, state, path):
         cmd, new_state = QZ.int8_forward(
             cfg, params, int_params, frames, vel_des[:, None], quat, state
         )
+    elif path == "turbo":
+        # int_params slot: (int_params, TailMatrix) for the batched path.
+        from ..quant.batched import turbo_forward
+
+        ip, tail = int_params
+        interp = jax.default_backend() != "tpu"
+        cmd, new_state = turbo_forward(
+            cfg, params, ip, tail, frames, vel_des[:, None], quat, state,
+            interpret=interp,
+        )
+    elif path == "mega":
+        # The serving megakernel, exactly as deployed (batch-1 program):
+        # tokenizer in XLA on the full batch, then one kernel call per
+        # drone under lax.map (sequential — the kernel includes the LSTM
+        # tail + velocity postprocess, model_kernel.py). params carries
+        # the FlagshipKernelParams operand pytree.
+        from ..models import layers as L
+        from ..ops.pallas.model_kernel import flagship_fused_step
+
+        if jax.default_backend() != "tpu":  # interpret off-TPU
+            step1 = functools.partial(flagship_fused_step, interpret=True)
+        else:
+            step1 = flagship_fused_step
+        kp = params
+        tokens = L.tokenizer_preln_nhwc(frames, kp.tok, cfg)  # (B, S, E)
+        eye = jnp.eye(tokens.shape[-1], dtype=tokens.dtype)
+        tokens = jax.lax.dot_general(
+            tokens, eye, (((2,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+        def one(args):
+            tok, v, px, q, h, c = args
+            cmd, h2, c2 = step1(kp, tok, v, px, q[None, :], h, c)
+            return cmd, h2, c2
+
+        h_b = jnp.moveaxis(state.h, 1, 0)[:, :, None, :]  # (B, L, 1, H)
+        c_b = jnp.moveaxis(state.c, 1, 0)[:, :, None, :]
+        cmds, h2, c2 = jax.lax.map(
+            one, (tokens, vel_des, pos_x, quat, h_b, c_b)
+        )
+        new_state = M.LSTMState(
+            jnp.moveaxis(h2[:, :, 0, :], 0, 1), jnp.moveaxis(c2[:, :, 0, :], 0, 1)
+        )
+        return cmds, new_state, True
     else:
         cmd, new_state = M.forward(
             cfg, params, frames, vel_des[:, None], quat, state
         )
-    return cmd, new_state
+    return cmd, new_state, False
 
 
 def rollout_batch(
@@ -89,17 +143,42 @@ def rollout_batch(
         t_goal: jax.Array
         speed_sum: jax.Array
 
+    # World tuple for per-drone vmaps (kinds only when present so legacy
+    # sphere-only worlds keep their jaxpr unchanged).
+    wtup = (
+        (worlds.centers, worlds.radii)
+        if worlds.kinds is None
+        else (worlds.centers, worlds.radii, worlds.kinds)
+    )
+
     def tick(carry: Carry, t):
         drone, lstm = carry.drone, carry.lstm
         images = jax.vmap(lambda w, p: render_depth(World(*w), p, wcfg))(
-            (worlds.centers, worlds.radii), drone.pos
+            wtup, drone.pos
         )
-        cmd_raw, lstm_new = _policy_step(
-            cfg, params, int_params, images, vel_des, lstm, path
-        )
-        cmd = jax.vmap(postprocess_velocity)(
-            cmd_raw, vel_des, drone.pos[:, 0]
-        )
+        if path == "expert":
+            # Scripted-expert ceiling (the DAgger teacher,
+            # train/dataset.expert_command): same worlds, same dynamics,
+            # privileged world state instead of the camera — the
+            # upper-bound row for attributing residual policy failures
+            # (policy gap vs impossible worlds).
+            from ..train.dataset import expert_command
+
+            cmd_raw = jax.vmap(
+                lambda w, p, v: expert_command(World(*w), p, v, wcfg)
+            )(wtup, drone.pos, vel_des)
+            cmd, lstm_new = cmd_raw, lstm
+        else:
+            cmd_raw, lstm_new, postprocessed = _policy_step(
+                cfg, params, int_params, images, vel_des, lstm, path,
+                pos_x=drone.pos[:, 0],
+            )
+            if postprocessed:  # mega path postprocesses in-kernel
+                cmd = cmd_raw
+            else:
+                cmd = jax.vmap(postprocess_velocity)(
+                    cmd_raw, vel_des, drone.pos[:, 0]
+                )
         # Freeze finished drones (collided or reached goal).
         active = ~carry.done
         cmd = jnp.where(active[:, None], cmd, 0.0)
@@ -117,7 +196,7 @@ def rollout_batch(
             lstm,
         )
         hit = jax.vmap(lambda w, p: check_collision(World(*w), p, wcfg))(
-            (worlds.centers, worlds.radii), drone_new.pos
+            wtup, drone_new.pos
         )
         collided = carry.collided | (hit & active)
         reached = drone_new.pos[:, 0] >= wcfg.goal_x

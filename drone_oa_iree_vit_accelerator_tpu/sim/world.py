@@ -42,11 +42,16 @@ class WorldConfig(NamedTuple):
     dt: float = 0.01  # 100 Hz control (SURVEY.md section 5 long-axis note)
     vel_tau: float = 0.35  # first-order velocity tracking time constant
     spawn_z: float = 2.5
+    cylinder_frac: float = 0.0  # fraction of obstacles that are pillars
 
 
 class World(NamedTuple):
     centers: jax.Array  # (n_obs, 3)
     radii: jax.Array  # (n_obs,)
+    # Obstacle kind per slot: 0 = sphere, 1 = vertical cylinder (an
+    # infinite pillar along z — the tree/pole geometry Flightmare scenes
+    # mix in). None (default) = all spheres (legacy worlds).
+    kinds: jax.Array | None = None
 
 
 class DroneState(NamedTuple):
@@ -70,7 +75,13 @@ def sample_world(key: jax.Array, cfg: WorldConfig = WorldConfig()) -> World:
         axis=1,
     )
     radii = jax.random.uniform(kr, (n,), minval=cfg.r_min, maxval=cfg.r_max)
-    return World(centers=centers, radii=radii)
+    kinds = None
+    if cfg.cylinder_frac > 0.0:
+        kk = jax.random.fold_in(key, 7)
+        kinds = (
+            jax.random.uniform(kk, (n,)) < cfg.cylinder_frac
+        ).astype(jnp.int32)
+    return World(centers=centers, radii=radii, kinds=kinds)
 
 
 def init_drone(cfg: WorldConfig = WorldConfig(), y: float = 0.0) -> DroneState:
@@ -110,6 +121,20 @@ def render_depth(
     hit = (disc >= 0) & (b > 0)
     t = b - jnp.sqrt(jnp.maximum(disc, 0.0))
     t = jnp.where(hit & (t > 0), t, jnp.inf)
+    if world.kinds is not None:
+        # Ray-cylinder (infinite vertical pillar): intersect in the xy
+        # plane. a = |d_xy|^2, b = oc_xy.d_xy, c = |oc_xy|^2 - r^2.
+        d_xy = rays[:, :2]  # (P, 2)
+        a_c = jnp.sum(d_xy * d_xy, axis=-1)  # (P,)
+        b_c = d_xy @ oc[:, :2].T  # (P, n)
+        c_c = jnp.sum(oc[:, :2] ** 2, axis=-1) - world.radii**2  # (n,)
+        disc_c = b_c * b_c - a_c[:, None] * c_c[None, :]
+        ok = (disc_c >= 0) & (b_c > 0) & (a_c[:, None] > 1e-9)
+        t_c = (b_c - jnp.sqrt(jnp.maximum(disc_c, 0.0))) / jnp.maximum(
+            a_c[:, None], 1e-9
+        )
+        t_c = jnp.where(ok & (t_c > 0), t_c, jnp.inf)
+        t = jnp.where(world.kinds[None, :] == 1, t_c, t)
     depth = jnp.min(t, axis=-1)  # (P,)
     # Inverse-depth u8: 255 at contact, 0 beyond max range.
     inv = jnp.clip(1.0 - depth / cfg.max_depth, 0.0, 1.0)
@@ -131,5 +156,8 @@ def check_collision(
 ) -> jax.Array:
     """True if the drone intersects any obstacle (or the ground)."""
     d = jnp.linalg.norm(world.centers - pos, axis=-1)
+    if world.kinds is not None:
+        d_xy = jnp.linalg.norm(world.centers[:, :2] - pos[:2], axis=-1)
+        d = jnp.where(world.kinds == 1, d_xy, d)
     hit_obs = jnp.any(d < world.radii + cfg.collision_radius)
     return hit_obs | (pos[2] < 0.2)

@@ -45,6 +45,7 @@ class OpStat:
     category: str = ""
     flops: float = 0.0          # model_flops summed over executions
     bytes_accessed: float = 0.0
+    long_name: str = ""         # HLO text snippet (shapes, operands)
 
 
 @dataclass
@@ -152,6 +153,8 @@ def _parse_trace(trace_dir: str) -> DeviceTiming:
             args = e.get("args", {})
             if not st.category:
                 st.category = str(args.get("hlo_category", ""))
+            if not st.long_name:
+                st.long_name = str(args.get("long_name", ""))[:400]
             try:
                 st.flops += float(args.get("model_flops", 0) or 0)
             except (TypeError, ValueError):

@@ -1,0 +1,166 @@
+"""Tests for the batched throughput serving path (quant/batched.py):
+factored tokenizer, precomposed tail matrix, batched-core encoder kernel,
+and the turbo forward end to end."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from drone_oa_iree_vit_accelerator_tpu.core import (
+    ITA_BASE,
+    ITA_SINGLE_LAYER_UPSAMPLE_SHUFFLE as CFG,
+)
+from drone_oa_iree_vit_accelerator_tpu.models import layers as L
+from drone_oa_iree_vit_accelerator_tpu.models import vit_lstm as M
+from drone_oa_iree_vit_accelerator_tpu import quant as QZ
+from drone_oa_iree_vit_accelerator_tpu.quant.batched import (
+    make_tail,
+    turbo_forward,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    key = jax.random.PRNGKey(0)
+    params = M.init_params(CFG, key)
+    frames_cal = jax.random.randint(key, (8, 1, 60, 90), 0, 256, jnp.uint8)
+    int_params, _ = QZ.calibrate_ptq(CFG, params, frames_cal)
+    return params, int_params
+
+
+def test_factored_tokenizer_matches_conv_resize(setup):
+    """tokenizer_tokens_factored == resize(conv(x)) to f32 tolerance."""
+    params, _ = setup
+    x = jax.random.uniform(jax.random.PRNGKey(1), (4, 1, 60, 90))
+    fac = L.tokenizer_tokens_factored(x, params["tokenizer"], CFG)
+    ref = L.tokenizer_forward(x, params["tokenizer"], CFG)  # LN'd
+    fac_ln = L.layer_norm(fac, params["tokenizer"]["ln"])
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(fac_ln),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_tail_matrix_exact(setup):
+    """W_tail reproduces fuse_tokens + decoder (linear map => exact up to
+    f32 summation order)."""
+    params, _ = setup
+    fp = M.freeze_for_inference(CFG, params)
+    w, b = M.make_tail_matrix(CFG, params)
+    y = jax.random.normal(jax.random.PRNGKey(2), (8, CFG.S, CFG.E))
+    ref = M.fuse_tokens(CFG, fp, y) @ fp["decoder"]["w"] + fp["decoder"]["b"]
+    got = y.reshape(8, -1) @ w + b
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=2e-4, atol=1e-5)
+
+
+def test_tail_matrix_flatten_is_decoder():
+    """For FLATTEN-fusion configs the tail IS the (frozen) decoder."""
+    params = M.init_params(ITA_BASE, jax.random.PRNGKey(3))
+    tail = make_tail(ITA_BASE, params, dtype=jnp.float32)
+    fp = M.freeze_for_inference(ITA_BASE, params)
+    np.testing.assert_array_equal(
+        np.asarray(tail.w), np.asarray(fp["decoder"]["w"])
+    )
+
+
+@pytest.mark.parametrize("mode", ["onepass", "streaming"])
+def test_batched_core_bit_identical_to_loop_core(setup, mode):
+    """encoder_core_batched == encoder_core exactly (same integer ops,
+    restructured scheduling), interpret mode."""
+    params, int_params = setup
+    from drone_oa_iree_vit_accelerator_tpu.ops.pallas.ita_kernel import (
+        ita_encoder_block,
+    )
+
+    blk = params["blocks"][0]
+    x = jax.random.normal(jax.random.PRNGKey(4), (8, 128, 64), jnp.float32)
+    a = ita_encoder_block(
+        x, int_params["attn"][0], int_params["ffn"][0], blk["ln1"],
+        blk["ln2"], interpret=True, softmax_mode=mode,
+    )
+    b = ita_encoder_block(
+        x, int_params["attn"][0], int_params["ffn"][0], blk["ln1"],
+        blk["ln2"], interpret=True, softmax_mode=mode, batched_core=True,
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_turbo_matches_int8_path(setup):
+    """turbo (f32 glue, golden encoder) tracks int8_forward to glue
+    tolerance; pallas-interpret encoder is bit-identical to the golden
+    encoder inside turbo."""
+    params, int_params = setup
+    fp = M.freeze_for_inference(CFG, params)
+    tail = make_tail(CFG, params, dtype=jnp.float32)
+    b = 4
+    frame = jax.random.uniform(jax.random.PRNGKey(5), (b, 1, 60, 90))
+    vel = jnp.ones((b, 1))
+    quat = jnp.zeros((b, 4)).at[:, 0].set(1.0)
+    state = M.zero_state(CFG, b)
+    ref, st_ref = QZ.int8_forward(CFG, fp, int_params, frame, vel, quat, state)
+    got, st = turbo_forward(
+        CFG, fp, int_params, tail, frame, vel, quat, state,
+        encoder="int8", glue_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=1e-3, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(st_ref.h), np.asarray(st.h), rtol=1e-3, atol=2e-4
+    )
+    got_p, _ = turbo_forward(
+        CFG, fp, int_params, tail, frame, vel, quat, state,
+        encoder="pallas", interpret=True, glue_dtype=jnp.float32,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(got_p))
+
+
+def test_turbo_bf16_glue_tracks_f32_glue(setup):
+    params, int_params = setup
+    fp = M.freeze_for_inference(CFG, params)
+    tail = make_tail(CFG, params)
+    b = 4
+    frame = jax.random.uniform(jax.random.PRNGKey(6), (b, 1, 60, 90))
+    vel = jnp.ones((b, 1))
+    quat = jnp.zeros((b, 4)).at[:, 0].set(1.0)
+    state = M.zero_state(CFG, b)
+    f32cmd, _ = turbo_forward(
+        CFG, fp, int_params, make_tail(CFG, params, dtype=jnp.float32),
+        frame, vel, quat, state, encoder="int8", glue_dtype=jnp.float32,
+    )
+    bfcmd, bfst = turbo_forward(
+        CFG, fp, int_params, tail, frame, vel, quat, state, encoder="int8"
+    )
+    assert bfst.h.dtype == jnp.float32  # state returns f32 at the boundary
+    np.testing.assert_allclose(np.asarray(f32cmd), np.asarray(bfcmd),
+                               rtol=0.05, atol=0.02)
+
+
+def test_turbo_on_flatten_config():
+    """turbo serves the ITA base (2-layer E=128, FLATTEN) config too."""
+    params = M.init_params(ITA_BASE, jax.random.PRNGKey(7))
+    int_params, _ = QZ.calibrate_ptq(
+        ITA_BASE, params,
+        jax.random.randint(jax.random.PRNGKey(8), (8, 1, 60, 90), 0, 256,
+                           jnp.uint8),
+    )
+    fp = M.freeze_for_inference(ITA_BASE, params)
+    tail = make_tail(ITA_BASE, params, dtype=jnp.float32)
+    b = 2
+    frame = jax.random.uniform(jax.random.PRNGKey(9), (b, 1, 60, 90))
+    vel = jnp.ones((b, 1))
+    quat = jnp.zeros((b, 4)).at[:, 0].set(1.0)
+    state = M.zero_state(ITA_BASE, b)
+    ref, _ = QZ.int8_forward(ITA_BASE, fp, int_params, frame, vel, quat, state)
+    got, _ = turbo_forward(
+        ITA_BASE, fp, int_params, tail, frame, vel, quat, state,
+        encoder="int8", glue_dtype=jnp.float32,
+    )
+    # The factored tokenizer matches resize(conv(x)) only to f32
+    # summation order (~1e-6 post-LN); tokens landing on an int8
+    # quantization boundary can flip +-1 LSB, and the 2-layer E=128
+    # encoder amplifies a flip to ~3% of the (random-init) command.
+    # The flagship test above is 1-layer and tighter; bit-identity of
+    # the integer region itself is pinned by the pallas-vs-golden
+    # comparison below and tests/test_ita_oracle.py.
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=0.05, atol=2e-3)
