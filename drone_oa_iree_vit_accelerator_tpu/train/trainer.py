@@ -194,7 +194,15 @@ class Trainer:
         self.opt_state = state["opt_state"]
         return int(state["epoch"]) + 1
 
-    def train(self, start_epoch: int = 0) -> dict:
+    def train(self, start_epoch: int = 0, on_epoch=None) -> dict:
+        """Run the training loop.
+
+        ``on_epoch(epoch, params) -> None`` is an optional hook called
+        after every epoch — scripts/dagger_train.py uses it to run a
+        closed-loop validation and keep the best-by-success checkpoint,
+        because val LOSS is anti-correlated with closed-loop success on
+        this task (measured round 2; see scripts/qat_deploy.py header).
+        """
         best_val, best_epoch, bad_epochs = float("inf"), -1, 0
         history = []
         for epoch in range(start_epoch, self.tcfg.epochs):
@@ -219,6 +227,8 @@ class Trainer:
                 else:
                     bad_epochs += 1
             history.append({"epoch": epoch, "train": train_loss, "val": val_loss})
+            if on_epoch is not None:
+                on_epoch(epoch, self.params)
             self.mylogger(
                 f"epoch {epoch}", train=round(train_loss, 6),
                 val=None if np.isnan(val_loss) else round(val_loss, 6),
