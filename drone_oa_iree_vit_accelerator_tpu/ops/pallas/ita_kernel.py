@@ -374,13 +374,17 @@ def _encoder_block_kernel(
     seq,           # static: sequence length S
     transposed_io, # static: blocks arrive/leave as (nb, E, S) channel-first
     batched_core,  # static: use the batched-attention core (throughput)
+    pre_ln,        # static: LayerNorm x in-kernel (turbo tokenizer fusion)
     iscal_ref,  # SMEM (1, 20) i32
     fscal_ref,  # SMEM (1, 4) f32
-    x_ref,      # VMEM (nb, S, E) f32 — or (nb, E, S) when transposed_io
-    *w_refs,    # weight/bias/LN refs (see encoder_core) + out_ref last
+    x_ref,      # VMEM (nb, S, E) f32/bf16 — or (nb, E, S) transposed_io
+    *w_refs,    # [pre-LN g/b refs,] weight/bias/LN refs + out_ref last
 ):
     out_ref = w_refs[-1]
     w_refs = w_refs[:-1]
+    if pre_ln:
+        png_ref, pnb_ref = w_refs[:2]
+        w_refs = w_refs[2:]
     # Fold the nb sequences into the row axis: every projection / FFN
     # matmul then runs as one (nb*S, K) x (K, N) GEMM — at nb=8, S=128
     # that is 1024 MXU rows instead of 128, which is what makes the
@@ -392,10 +396,17 @@ def _encoder_block_kernel(
         x = jnp.transpose(x_ref[...], (0, 2, 1)).reshape(nb * seq, e)
     else:
         e = x_ref.shape[-1]
-        x = x_ref[...].reshape(nb * seq, e)  # (nb*S, E) f32
+        x = x_ref[...].reshape(nb * seq, e)  # (nb*S, E)
+    x = x.astype(jnp.float32)
+    if pre_ln:
+        # Tokenizer LN fused in-kernel (f32 on the VPU): the turbo path
+        # hands over raw bf16 tokenizer-GEMM tokens (half the input
+        # traffic) and this reproduces models/layers.layer_norm exactly.
+        x = _layer_norm(x, png_ref[0], pnb_ref[0])
 
     core = encoder_core_batched if batched_core else encoder_core
     out = core(x, softmax_mode, nb, seq, iscal_ref, fscal_ref, *w_refs)
+    out = out.astype(out_ref.dtype)
     if transposed_io:
         out_ref[...] = jnp.transpose(out.reshape(nb, seq, e), (0, 2, 1))
     else:
@@ -406,11 +417,11 @@ def _encoder_block_kernel(
     jax.jit,
     static_argnames=(
         "interpret", "softmax_mode", "transposed_io", "max_nb",
-        "batched_core",
+        "batched_core", "out_dtype",
     ),
 )
 def ita_encoder_block(
-    x: jax.Array,  # (B, S, E) f32 — or (B, E, S) when transposed_io
+    x: jax.Array,  # (B, S, E) f32/bf16 — or (B, E, S) when transposed_io
     attn: IntAttentionParams,
     ffn: IntFFNParams,
     ln1: dict,
@@ -420,6 +431,8 @@ def ita_encoder_block(
     transposed_io: bool = False,
     max_nb: int = 8,
     batched_core: bool = False,
+    pre_ln: dict | None = None,
+    out_dtype=None,
 ) -> jax.Array:
     """One fused quantized encoder layer on TPU (B small; grid over B).
 
@@ -428,6 +441,12 @@ def ita_encoder_block(
     (ops/integer_ita.py golden path; H=1 — multi-head layouts fall back to
     the golden model upstream). ``softmax_mode='streaming'`` selects the
     hardware's partial softmax (matches the golden path's same flag).
+
+    Throughput extras (the turbo path): ``pre_ln={'g','b'}`` fuses the
+    tokenizer LayerNorm in-kernel (pass raw bf16 tokenizer tokens, half
+    the input traffic; LN math stays f32 on the VPU); ``out_dtype``
+    (e.g. bf16) emits the output in the glue dtype the consumer reads —
+    the same cast it would apply anyway, at half the output traffic.
     """
     if softmax_mode not in ("onepass", "streaming"):
         raise ValueError(f"unknown softmax mode {softmax_mode!r}")
@@ -460,16 +479,26 @@ def ita_encoder_block(
     nb = next(n for n in (max_nb, 8, 4, 2, 1) if n <= max_nb and b % n == 0)
 
     xblock = (nb, e, s) if transposed_io else (nb, s, e)
+    pre_ln_specs = [row(e), row(e)] if pre_ln is not None else []
+    pre_ln_args = (
+        [
+            jnp.asarray(pre_ln["g"], jnp.float32)[None, :],
+            jnp.asarray(pre_ln["b"], jnp.float32)[None, :],
+        ]
+        if pre_ln is not None
+        else []
+    )
     return pl.pallas_call(
         functools.partial(
             _encoder_block_kernel, softmax_mode, nb, s, transposed_io,
-            batched_core,
+            batched_core, pre_ln is not None,
         ),
         grid=(b // nb,),
         in_specs=[
             smem((1, N_ISCALARS)),
             smem((1, N_FSCALARS)),
             pl.BlockSpec(xblock, lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            *pre_ln_specs,
             vmem_const((e, p)), row(p),
             vmem_const((e, p)), row(p),
             vmem_const((e, p)), row(p),
@@ -482,11 +511,13 @@ def ita_encoder_block(
             xblock, lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (b, e, s) if transposed_io else (b, s, e), jnp.float32
+            (b, e, s) if transposed_io else (b, s, e),
+            out_dtype or jnp.float32,
         ),
         interpret=interpret,
     )(
         iscal, fscal, x,
+        *pre_ln_args,
         attn.q.w, attn.q.b[None, :],
         attn.k.w, attn.k.b[None, :],
         attn.v.w, attn.v.b[None, :],

@@ -92,12 +92,15 @@ def turbo_forward(
     tokens = L.tokenizer_tokens_factored(
         frame, params["tokenizer"], cfg, dtype=gd
     )
-    tokens = L.layer_norm(tokens, params["tokenizer"]["ln"])  # f32
 
     # Encoder: the bit-exact int8 region.
     if encoder == "pallas":
         from ..ops.pallas.ita_kernel import ita_encoder_block
 
+        # Tokenizer LN fuses into the kernel (pre_ln) and the kernel
+        # reads/writes the glue dtype directly — same math as the XLA
+        # LN + f32 kernel I/O + post-cast (LN stays f32 in-kernel), at
+        # half the kernel-boundary HBM traffic.
         x = tokens
         for i in range(cfg.num_layers):
             blk = params["blocks"][i]
@@ -106,8 +109,11 @@ def turbo_forward(
                 blk["ln1"], blk["ln2"],
                 interpret=interpret, softmax_mode=softmax_mode,
                 max_nb=max_nb, batched_core=batched_core,
+                pre_ln=params["tokenizer"]["ln"] if i == 0 else None,
+                out_dtype=gd if i == cfg.num_layers - 1 else None,
             )
     elif encoder == "int8":
+        tokens = L.layer_norm(tokens, params["tokenizer"]["ln"])  # f32
         from ..ops.integer_ita import ita_attention_f32, ita_ffn_f32
 
         x = tokens
