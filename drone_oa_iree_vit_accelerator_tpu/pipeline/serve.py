@@ -204,6 +204,47 @@ def make_fused_serving_step(cfg: ModelConfig):
     return jax.jit(step, donate_argnums=(6,))
 
 
+def make_batched_serving_step(cfg: ModelConfig, path: str = "auto"):
+    """Batched camera->command serving step (throughput deployments —
+    offline dataset replay, fleet-scale inference, sim rollouts).
+
+    step(params, int_params, tail, frames_u8 (B,60,90), vel (B,),
+         pos_x (B,), quat (B,4), state) -> (cmds (B,3), state)
+
+    ``path='auto'`` routes to the MEASURED-best batched path per config
+    (device-trace numbers, BENCH_r0*.json):
+
+    - batch-1 serving should use ``ServingEngine``/``make_serving_step``
+      (the megakernel, 14.9 us/frame) — this builder is for batch >> 1;
+    - for kernel-supported configs (H == 1) the turbo pipeline with the
+      batched Pallas int8 encoder (factored tokenizer GEMMs, fused
+      encoder kernel with in-kernel pre-LN, precomposed tail GEMM);
+    - H != 1 configs fall back to the turbo pipeline with the XLA int8
+      encoder (the Pallas kernel is H=1-only; ita_encoder_block guard).
+
+    ``tail`` is the precomposed fusion+decoder matrix
+    (quant.batched.make_tail) — build once per deployment.
+    """
+    from ..quant.batched import turbo_forward
+
+    if path == "auto":
+        path = "turbo" if cfg.H == 1 else "turbo_int8"
+    encoder = {"turbo": "pallas", "turbo_int8": "int8"}[path]
+    interp = jax.default_backend() != "tpu"
+
+    def step(params, int_params, tail, frames_u8, vel, pos_x, quat, state):
+        frames = frames_u8.astype(jnp.float32)[:, None, :, :] / 255.0
+        kw = {"interpret": interp} if encoder == "pallas" else {}
+        cmd, new_state = turbo_forward(
+            cfg, params, int_params, tail, frames, vel[:, None], quat,
+            state, encoder=encoder, **kw,
+        )
+        out = jax.vmap(postprocess_velocity)(cmd, vel, pos_x)
+        return out, new_state
+
+    return jax.jit(step, donate_argnums=(7,))
+
+
 class ServingEngine:
     """Stateful frame server: holds params and the device-resident LSTM
     state across frames (reset per trajectory like the reference's

@@ -164,3 +164,43 @@ def test_turbo_on_flatten_config():
     # comparison below and tests/test_ita_oracle.py.
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
                                rtol=0.05, atol=2e-3)
+
+
+def test_batched_serving_step_auto(setup):
+    """make_batched_serving_step('auto') routes the flagship to the turbo
+    pipeline with the Pallas encoder and matches the per-frame int8 path
+    + velocity post-processing at glue tolerance."""
+    from drone_oa_iree_vit_accelerator_tpu.pipeline.serve import (
+        make_batched_serving_step,
+        postprocess_velocity,
+    )
+
+    params, int_params = setup
+    fp = M.freeze_for_inference(CFG, params)
+    tail = make_tail(CFG, params)
+    b = 4
+    key = jax.random.PRNGKey(11)
+    frames_u8 = jax.random.randint(key, (b, 60, 90), 0, 256, jnp.uint8)
+    vel = jnp.full((b,), 5.0)
+    pos_x = jnp.asarray([0.5, 3.0, 10.0, 1.9])
+    quat = jnp.zeros((b, 4)).at[:, 0].set(1.0)
+    state = M.zero_state(CFG, b)
+
+    step = make_batched_serving_step(CFG, path="auto")
+    cmds, new_state = step(
+        fp, int_params, tail, frames_u8, vel, pos_x, quat, state
+    )
+    assert cmds.shape == (b, 3) and new_state.h.dtype == jnp.float32
+
+    frame = frames_u8.astype(jnp.float32)[:, None, :, :] / 255.0
+    raw, _ = QZ.int8_forward(
+        CFG, fp, int_params, frame, vel[:, None], quat, M.zero_state(CFG, b)
+    )
+    ref = jax.vmap(postprocess_velocity)(raw, vel, pos_x)
+    np.testing.assert_allclose(np.asarray(cmds), np.asarray(ref),
+                               rtol=0.08, atol=0.05)
+    # The pos_x < 2 floor applies to frames 0 and 3 exactly.
+    expect_floor = np.maximum(1.0, np.asarray(pos_x) / 2.0 * 5.0)
+    np.testing.assert_allclose(
+        np.asarray(cmds)[[0, 3], 0], expect_floor[[0, 3]], rtol=1e-6
+    )
