@@ -109,13 +109,14 @@ class IntFFNParams:
 def int_linear(x_i8: jax.Array, p: QuantLinearParams) -> jax.Array:
     """int8 linear: i32 accumulate + bias + requant -> int8.
 
-    Inputs are int8-range by contract (quantize/requant outputs); the
-    explicit int8 cast keeps the matmul on the native int8 MXU path even
-    when a caller hands over an i32-typed requant result (bit-identical,
-    ~4x faster than an i32 x i32 contraction on TPU)."""
+    Inputs may arrive i32-typed (requant results, int8-range by
+    contract); XLA's i32 contraction lowering measured FASTER on the
+    v5e than forcing the operands to int8 for these small-K shapes
+    (0.974 vs 1.13 ms/call for the b1024 turbo XLA-encoder step), so no
+    dtype normalization is done here."""
     acc = (
         jax.lax.dot_general(
-            x_i8.astype(jnp.int8),
+            x_i8,
             p.w,
             (((x_i8.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
@@ -158,13 +159,16 @@ def ita_attention_int8(
     kp = int_linear(x_i8, p.k)
     vp = int_linear(x_i8, p.v)
 
-    # Requant outputs live in [-128, 127]: presenting them to dot_general
-    # as int8 (not i32) lets XLA use the native int8 MXU path with i32
-    # accumulation — bit-identical values, ~4x faster matmuls on TPU
-    # (i32 x i32 contractions cannot map onto the int8 systolic array).
-    qh = _split_heads(qp, p.num_heads).astype(jnp.int8)  # (H, S, d)
-    kh = _split_heads(kp, p.num_heads).astype(jnp.int8)
-    vh = _split_heads(vp, p.num_heads).astype(jnp.int8)
+    # NOTE on operand dtypes: presenting these contractions as int8
+    # (values are int8-range, so the cast is bit-identical) was tried and
+    # MEASURED SLOWER on the v5e than XLA's i32 lowering for these
+    # shapes: b1024 turbo XLA-encoder step 1.13 ms (int8 operands) vs
+    # 0.974 ms (i32 operands). The device-trace A/B lives in the round-3
+    # log; keep i32 here. (The Pallas kernels do their own int8 MXU dots
+    # and are unaffected either way.)
+    qh = _split_heads(qp, p.num_heads).astype(jnp.int32)  # (H, S, d)
+    kh = _split_heads(kp, p.num_heads).astype(jnp.int32)
+    vh = _split_heads(vp, p.num_heads).astype(jnp.int32)
 
     # Attention logits: int8 x int8 -> i32, requant to int8. No 1/sqrt(d).
     logits = jax.lax.dot_general(
@@ -185,18 +189,12 @@ def ita_attention_int8(
 
     # Context: uint8 x int8 -> i32 (the mixed-sign matmul torch could not
     # do natively, reference tests/export_and_validation_W_B.py:120-151),
-    # requant to int8. The uint8 probabilities don't fit int8, so use the
-    # exact offset decomposition (same scheme as the Pallas kernel,
-    # ops/pallas/ita_kernel.py AV stage): a @ v == (a-128) @ v +
-    # 128 * colsum(v), with (a-128) in [-128, 127] — keeps the matmul on
-    # the native int8 MXU path, bit-identical accumulator.
+    # requant to int8. (i32 operands: see the dtype NOTE above.)
     ctx = jax.lax.dot_general(
-        (a_u8 - 128).astype(jnp.int8),
+        a_u8.astype(jnp.int32),
         vh,
         (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.int32,
-    ) + 128 * jnp.sum(
-        vh.astype(jnp.int32), axis=1, keepdims=True
     )  # (H, S, d)
     o_i8 = requant(ctx, p.av_mult, p.av_shift, p.av_add)
 

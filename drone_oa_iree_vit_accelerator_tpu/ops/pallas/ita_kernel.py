@@ -91,6 +91,22 @@ def _requant(acc, mult, shift):
     return jnp.clip(out, -128, 127)
 
 
+def _requant_half(shift):
+    """The half-up rounding constant of _requant (scalar i32)."""
+    return jnp.where(shift > 0, 1 << jnp.maximum(shift - 1, 0), 0)
+
+
+def _requant_folded(dot, cvec, mult, shift):
+    """_requant(dot + b, mult, shift) with the bias pre-folded:
+    cvec = b*mult + half. Bit-identical ((dot+b)*m + h == dot*m +
+    (b*m+h) in i32; |acc*mult| < 2**31 holds for every config here, so
+    neither summand overflows) — one fewer full-width VPU pass per
+    requant stage, which matters because the batched kernel is
+    VPU-bound (requant chains over (nb*S, P)-sized accumulators)."""
+    out = (dot * mult + cvec) >> jnp.clip(shift, 0, 31)
+    return jnp.clip(out, -128, 127)
+
+
 def _quantize(x, scale):
     return jnp.clip(jnp.round(x / scale), -128, 127).astype(jnp.int8)
 
@@ -296,17 +312,26 @@ def encoder_core_batched(
     s_attn_in = fscal_ref[0, _FS_ATTN_IN]
     x_i8 = _quantize(x, s_attn_in)
 
-    qp = _requant(
-        _int_dot(x_i8, wq_ref[:]) + bq_ref[0],
-        iscal_ref[0, _IQ_MULT], iscal_ref[0, _IQ_SHIFT],
+    # Folded requant constants (one (1, N) row each — negligible next to
+    # the (nb*S, N) activation passes they save; see _requant_folded).
+    m_q, s_q = iscal_ref[0, _IQ_MULT], iscal_ref[0, _IQ_SHIFT]
+    m_k, s_k = iscal_ref[0, _IK_MULT], iscal_ref[0, _IK_SHIFT]
+    m_v, s_v = iscal_ref[0, _IV_MULT], iscal_ref[0, _IV_SHIFT]
+    m_o, s_o = iscal_ref[0, _IO_MULT], iscal_ref[0, _IO_SHIFT]
+    m_1, s_1 = iscal_ref[0, _IFC1_MULT], iscal_ref[0, _IFC1_SHIFT]
+    m_2, s_2 = iscal_ref[0, _IFC2_MULT], iscal_ref[0, _IFC2_SHIFT]
+
+    qp = _requant_folded(
+        _int_dot(x_i8, wq_ref[:]), bq_ref[0] * m_q + _requant_half(s_q),
+        m_q, s_q,
     )
-    kp = _requant(
-        _int_dot(x_i8, wk_ref[:]) + bk_ref[0],
-        iscal_ref[0, _IK_MULT], iscal_ref[0, _IK_SHIFT],
+    kp = _requant_folded(
+        _int_dot(x_i8, wk_ref[:]), bk_ref[0] * m_k + _requant_half(s_k),
+        m_k, s_k,
     )
-    vp = _requant(
-        _int_dot(x_i8, wv_ref[:]) + bv_ref[0],
-        iscal_ref[0, _IV_MULT], iscal_ref[0, _IV_SHIFT],
+    vp = _requant_folded(
+        _int_dot(x_i8, wv_ref[:]), bv_ref[0] * m_v + _requant_half(s_v),
+        m_v, s_v,
     )
 
     qp8 = qp.astype(i8)
@@ -328,40 +353,55 @@ def encoder_core_batched(
         a_u8 = _integer_softmax_streaming(a_i8)  # (nb*S, S) in [0,255]
     else:
         a_u8 = _integer_softmax(a_i8)
-    # AV with the exact offset decomposition (see encoder_core).
+    # AV with the exact offset decomposition (see encoder_core); the
+    # per-sequence 128*colsum(v) compensation folds into the requant
+    # constant row ((K*m + half) — exact in i32, same bound argument).
+    m_av, s_av = iscal_ref[0, _IAV_MULT], iscal_ref[0, _IAV_SHIFT]
+    half_av = _requant_half(s_av)
     p8 = (a_u8 - 128).astype(i8)
     vp8 = vp.astype(i8)
-    av = jnp.concatenate(
+    ctx = jnp.concatenate(
         [
-            _int_dot(p8[i * seq : (i + 1) * seq], vp8[i * seq : (i + 1) * seq])
-            + 128
-            * jnp.sum(vp[i * seq : (i + 1) * seq], axis=0, keepdims=True)
+            _requant_folded(
+                _int_dot(
+                    p8[i * seq : (i + 1) * seq], vp8[i * seq : (i + 1) * seq]
+                ),
+                128
+                * jnp.sum(vp[i * seq : (i + 1) * seq], axis=0, keepdims=True)
+                * m_av
+                + half_av,
+                m_av, s_av,
+            )
             for i in range(nb)
         ],
         axis=0,
     )
-    ctx = _requant(av, iscal_ref[0, _IAV_MULT], iscal_ref[0, _IAV_SHIFT])
 
-    attn_out_i8 = _requant(
-        _int_dot(ctx.astype(i8), wo_ref[:]) + bo_ref[0],
-        iscal_ref[0, _IO_MULT], iscal_ref[0, _IO_SHIFT],
+    attn_out_i8 = _requant_folded(
+        _int_dot(ctx.astype(i8), wo_ref[:]),
+        bo_ref[0] * m_o + _requant_half(s_o), m_o, s_o,
     )
 
     attn_f = attn_out_i8.astype(jnp.float32) * fscal_ref[0, _FS_ATTN_OUT]
     h = _layer_norm(x + attn_f, ln1_g_ref[0], ln1_b_ref[0])
 
     h_i8 = _quantize(h, fscal_ref[0, _FS_FFN_IN])
-    ff1 = _requant(
-        _int_dot(h_i8, w1_ref[:]) + b1_ref[0],
-        iscal_ref[0, _IFC1_MULT], iscal_ref[0, _IFC1_SHIFT],
+    # ReLU folds into the fc1 requant's clip bounds — exact:
+    # relu(clip(v, -128, 127)) == clip(v, 0, 127) — one fewer
+    # full-width pass over the (nb*S, F) activation.
+    ff1_relu = jnp.clip(
+        (_int_dot(h_i8, w1_ref[:]) * m_1
+         + (b1_ref[0] * m_1 + _requant_half(s_1)))
+        >> jnp.clip(s_1, 0, 31),
+        0, 127,
     )
     relu = _requant(
-        jnp.maximum(ff1, 0),
+        ff1_relu,
         iscal_ref[0, _IRELU_MULT], iscal_ref[0, _IRELU_SHIFT],
     )
-    ff2 = _requant(
-        _int_dot(relu.astype(i8), w2_ref[:]) + b2_ref[0],
-        iscal_ref[0, _IFC2_MULT], iscal_ref[0, _IFC2_SHIFT],
+    ff2 = _requant_folded(
+        _int_dot(relu.astype(i8), w2_ref[:]), b2_ref[0] * m_2 + _requant_half(s_2),
+        m_2, s_2,
     )
 
     ffn_f = ff2.astype(jnp.float32) * fscal_ref[0, _FS_FFN_OUT]

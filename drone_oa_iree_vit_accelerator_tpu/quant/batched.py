@@ -100,8 +100,11 @@ def turbo_forward(
         # Tokenizer LN fuses into the kernel (pre_ln) and the kernel
         # reads/writes the glue dtype directly — same math as the XLA
         # LN + f32 kernel I/O + post-cast (LN stays f32 in-kernel), at
-        # half the kernel-boundary HBM traffic.
-        x = tokens
+        # half the kernel-boundary HBM traffic. The explicit glue-dtype
+        # cast here is what realizes the input-side halving (the factored
+        # tokenizer's bias add returns f32): 2x 42 us layout copies
+        # measured at the kernel boundary in f32 at b1024.
+        x = tokens.astype(gd)
         for i in range(cfg.num_layers):
             blk = params["blocks"][i]
             x = ita_encoder_block(
