@@ -139,8 +139,10 @@ def main() -> None:
                 encoder_layout="nhwc",
             )
         elif kind == "turbo":
+            # max_nb=8 measured best on the folded kernel (0.964 ms at
+            # b1024 vs 0.979 at nb=16, 0.983 at nb=32 — device traces).
             fwd = lambda p, ip, f, v, q, s: turbo_forward(
-                CFG, p, ip, tail, f, v, q, s, encoder="pallas", max_nb=16
+                CFG, p, ip, tail, f, v, q, s, encoder="pallas", max_nb=8
             )
         elif kind == "turbo_int8":
             fwd = lambda p, ip, f, v, q, s: turbo_forward(
