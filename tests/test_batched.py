@@ -204,3 +204,37 @@ def test_batched_serving_step_auto(setup):
     np.testing.assert_allclose(
         np.asarray(cmds)[[0, 3], 0], expect_floor[[0, 3]], rtol=1e-6
     )
+
+
+def test_encoder_kernel_out_dtype_and_pre_ln(setup):
+    """out_dtype=bf16 emits bf16 equal to the f32 output's bf16 cast;
+    pre_ln in-kernel equals XLA layer_norm + kernel (exact, both f32)."""
+    from drone_oa_iree_vit_accelerator_tpu.ops.pallas.ita_kernel import (
+        ita_encoder_block,
+    )
+
+    params, int_params = setup
+    blk = params["blocks"][0]
+    tok_ln = params["tokenizer"]["ln"]
+    x = jax.random.normal(jax.random.PRNGKey(12), (4, 128, 64), jnp.float32)
+
+    ref = ita_encoder_block(
+        L.layer_norm(x, tok_ln), int_params["attn"][0], int_params["ffn"][0],
+        blk["ln1"], blk["ln2"], interpret=True,
+    )
+    got = ita_encoder_block(
+        x, int_params["attn"][0], int_params["ffn"][0],
+        blk["ln1"], blk["ln2"], interpret=True, pre_ln=tok_ln,
+    )
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=1e-6, atol=1e-6)
+
+    got16 = ita_encoder_block(
+        x, int_params["attn"][0], int_params["ffn"][0],
+        blk["ln1"], blk["ln2"], interpret=True, pre_ln=tok_ln,
+        out_dtype=jnp.bfloat16,
+    )
+    assert got16.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(got16), np.asarray(got.astype(jnp.bfloat16))
+    )
