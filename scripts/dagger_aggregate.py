@@ -3,10 +3,19 @@
 Reads /tmp/doa_dagger_r3_seed{S}/out/policy_report.json for each seed
 given on the CLI, computes mean±std of held-out success per serving
 path (VERDICT r2 item 4: ">=3 training seeds ... mean±std"), selects
-the deploy seed by VALIDATION closed-loop success (held-out influences
-nothing), copies its artifact into checkpoints/, and writes
+the deploy seed, copies its artifact into checkpoints/, and writes
 checkpoints/policy_report.json carrying every seed's full history plus
 the collapse diagnosis derived from the per-round data statistics.
+
+Deploy selection: each seed's deployed int8 artifact is re-evaluated
+closed-loop on an EXPANDED validation set (256 fresh worlds, seed
+family 880001 — disjoint from both the 64-world training-time val set
+and the held-out set, which influences nothing). Rationale, measured:
+the 64-world val signal has ~±6% binomial noise and per-epoch
+selection can crown a single-epoch spike (seed 1 round 0: epoch
+history 0.30 → 0.94 → 0.28; its 0.938 "best" scored 0.80 on held-out),
+so cross-seed selection needs a lower-variance estimate. Run on the
+chip:
 
     python scripts/dagger_aggregate.py --seeds 0 1 2
 """
@@ -19,6 +28,9 @@ import statistics
 import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+EXPANDED_VAL_SEED = 880_001
+EXPANDED_VAL_N = 256
 
 
 def main() -> None:
@@ -52,16 +64,52 @@ def main() -> None:
             "std": round(statistics.stdev(vals), 4) if len(vals) > 1 else 0.0,
         }
 
-    # Deploy selection: best VALIDATION closed-loop success (ties -> the
-    # better int8 deployment provenance, then lowest seed).
+    # Deploy selection: each seed's deployed int8 artifact on the
+    # expanded validation set (see module docstring; held-out untouched).
+    import jax
+    import numpy as np
+
+    from drone_oa_iree_vit_accelerator_tpu.core.config import (
+        ITA_SINGLE_LAYER_UPSAMPLE_SHUFFLE as CFG,
+    )
+    from drone_oa_iree_vit_accelerator_tpu.models import params_io
+    from drone_oa_iree_vit_accelerator_tpu.models import vit_lstm as MDL
+    from drone_oa_iree_vit_accelerator_tpu.quant.ptq import calibrate_ptq
+    from drone_oa_iree_vit_accelerator_tpu.sim.rollout import (
+        rollout_batch,
+        sample_worlds,
+    )
+    from drone_oa_iree_vit_accelerator_tpu.sim.world import WorldConfig
+
+    wcfg = WorldConfig()
+    worlds = sample_worlds(
+        jax.random.fold_in(jax.random.PRNGKey(EXPANDED_VAL_SEED), 1),
+        EXPANDED_VAL_N, wcfg,
+    )
+    run = jax.jit(
+        lambda p, ip, w: rollout_batch(
+            CFG, p, ip, w, wcfg=wcfg, steps=2000, desired_vel=5.0,
+            path="int8",
+        )
+    )
+    key = jax.random.PRNGKey(0)
+    p0 = MDL.init_params(CFG, key)
+    ip0, _ = calibrate_ptq(
+        CFG, p0, jax.random.randint(key, (8, 1, 60, 90), 0, 256, "uint8")
+    )
+    for S, r in reports.items():
+        p = params_io.load_params(str(r["dir"] / "model_float.npz"), p0)
+        ip = params_io.load_params(str(r["dir"] / "model_int8.npz"), ip0)
+        res = jax.block_until_ready(run(p, ip, worlds))
+        r["expanded_val"] = float(np.asarray(res.success).mean())
+        print(f"seed {S}: expanded-val ({EXPANDED_VAL_N} worlds) "
+              f"{r['expanded_val']:.4f}  (64-world val "
+              f"{r['report']['val_success']:.4f})")
+
     deploy_seed = max(
         reports,
-        key=lambda s: (
-            reports[s]["report"]["val_success"],
-            reports[s]["report"]["quantization"].get(
-                "qat_best_int8_val_success", 0.0),
-            -s,
-        ),
+        key=lambda s: (reports[s]["expanded_val"],
+                       reports[s]["report"]["val_success"], -s),
     )
     src = reports[deploy_seed]["dir"]
     for fn in ("model_float.npz", "model_int8.npz",
@@ -90,8 +138,16 @@ def main() -> None:
         "round": 3,
         "seeds": list(reports),
         "deploy_seed": deploy_seed,
-        "deploy_selection": "validation closed-loop success "
-                            "(held-out untouched)",
+        "deploy_selection": (
+            f"expanded validation closed-loop success ({EXPANDED_VAL_N} "
+            f"worlds, seed {EXPANDED_VAL_SEED}; held-out untouched) — "
+            "64-world val noise (~±6%) is the same order as the seed "
+            "spread, and per-epoch selection can crown a single-epoch "
+            "spike (seed 1: 0.938 val vs 0.797 held-out)"
+        ),
+        "expanded_val_by_seed": {
+            s: round(r["expanded_val"], 4) for s, r in reports.items()
+        },
         "heldout_success_by_path": agg,
         "per_seed_reports": {s: r["report"] for s, r in reports.items()},
         "collapse_diagnosis_rows": diagnosis_rows,
