@@ -164,28 +164,39 @@ def main() -> None:
     flops_per_frame = None
     traces: dict[str, object] = {}
 
-    def run_combo(kind, batch, ncalls, cfg=CFG, pr=None, ipr=None):
+    def run_combo(kind, batch, ncalls, cfg=CFG, pr=None, ipr=None,
+                  step_factory=None, seed_base=1000, want_flops=None):
+        """Time one (path, batch) combo: distinct frame per call (the
+        relay memoizes identical re-invocations), warmup, device-trace
+        timing with a settle retry. ``step_factory`` defaults to the
+        flagship make_step; the ITA-base section passes its own.
+        ``want_flops`` names a list to append the compiled FLOP count to
+        (cost_analysis of the warmup lowering)."""
         nonlocal flops_per_frame
         pr = params if pr is None else pr
         ipr = int_params if ipr is None else ipr
         vel = jnp.ones((batch, 1), jnp.float32)
         quat = jnp.tile(jnp.asarray([[1.0, 0, 0, 0]], jnp.float32), (batch, 1))
         state = M.zero_state(cfg, batch)
-        # Distinct frame per call: the relay memoizes identical re-invocations.
         frames = [
             jax.random.randint(
-                jax.random.PRNGKey(1000 * batch + i), (batch, 1, 60, 90), 0,
-                256, jnp.uint8,
+                jax.random.PRNGKey(seed_base * batch + i), (batch, 1, 60, 90),
+                0, 256, jnp.uint8,
             )
             for i in range(ncalls + 1)
         ]
         jax.block_until_ready(frames)
-        step = make_step(kind)
+        step = (step_factory or make_step)(kind)
         args = [(pr, ipr, frames[i + 1], vel, quat, state) for i in range(ncalls)]
         warm = (pr, ipr, frames[0], vel, quat, state)
-        if kind == "f32" and batch == 1 and flops_per_frame is None:
+        if kind == "f32" and batch == 1 and flops_per_frame is None \
+                and step_factory is None:
             comp = step.lower(*warm).compile()
             flops_per_frame = comp.cost_analysis().get("flops", 0.0)
+        if want_flops is not None and not want_flops:
+            want_flops.append(
+                step.lower(*warm).compile().cost_analysis().get("flops", 0.0)
+            )
         t = device_time_per_call(step, args, warmup_args=warm)
         if t.n_executions < ncalls:  # trace missed tail executions
             t = device_time_per_call(step, args, warmup_args=warm, settle_s=3.0)
@@ -268,7 +279,6 @@ def main() -> None:
     base_tail = make_tail(ITA_BASE, base_params)
     base_params = M.freeze_for_inference(ITA_BASE, base_params)
     base_int_flops = encoder_int_flops(ITA_BASE)
-    base_flops = None
     base = {}
 
     def base_step(kind):
@@ -293,35 +303,18 @@ def main() -> None:
 
         return step
 
+    base_flops_box: list = []
     for kind, batch, ncalls in (
         ("f32", 1, 40), ("pallas", 1, 40), ("turbo", 1024, 8),
     ):
-        vel = jnp.ones((batch, 1), jnp.float32)
-        quat = jnp.tile(jnp.asarray([[1.0, 0, 0, 0]], jnp.float32), (batch, 1))
-        state = M.zero_state(ITA_BASE, batch)
-        frames = [
-            jax.random.randint(
-                jax.random.PRNGKey(7000 + 100 * batch + i),
-                (batch, 1, 60, 90), 0, 256, jnp.uint8,
-            )
-            for i in range(ncalls + 1)
-        ]
-        jax.block_until_ready(frames)
-        step = base_step(kind)
-        args = [
-            (base_params, base_int, frames[i + 1], vel, quat, state)
-            for i in range(ncalls)
-        ]
-        warm = (base_params, base_int, frames[0], vel, quat, state)
-        if kind == "f32" and base_flops is None:
-            base_flops = (
-                step.lower(*warm).compile().cost_analysis().get("flops", 0.0)
-            )
-        t = device_time_per_call(step, args, warmup_args=warm)
-        if t.n_executions < ncalls:
-            t = device_time_per_call(step, args, warmup_args=warm, settle_s=3.0)
+        t = run_combo(
+            kind, batch, ncalls, cfg=ITA_BASE, pr=base_params, ipr=base_int,
+            step_factory=base_step, seed_base=7000,
+            want_flops=base_flops_box if kind == "f32" else None,
+        )
         base[f"{kind}_b{batch}"] = path_metrics(
-            t, batch, base_flops, base_int_flops, kind in INT_PATHS
+            t, batch, base_flops_box[0] if base_flops_box else None,
+            base_int_flops, kind in INT_PATHS,
         )
 
     best_kind, best = max(

@@ -149,7 +149,11 @@ def turbo_forward(
         demote(params["lstm"]), 0.0, None,
     )
     head = params["fc2"]
-    if "u" in head:
+    # Gate on cfg.spectral_norm_decoder exactly like M.forward
+    # (vit_lstm.py:275): init_params creates u/v unconditionally, so the
+    # presence of "u" alone must not trigger normalization — configs with
+    # spectral_norm_decoder=False (ITA base) use the raw head weight.
+    if cfg.spectral_norm_decoder and "u" in head:
         w_sn, _, _ = L.spectral_norm_weight(
             head["w"], head["u"], head["v"], update=False
         )

@@ -76,6 +76,13 @@ class _StageSink:
                     factor //= 2
             else:
                 top = max(amax, 1e-12)
+        elif top == 0.0:
+            # All-zero leading batch(es): degenerate [0, 0] edges would
+            # silently drop every sample (np.histogram counts nothing
+            # into equal edges). Seed a tiny positive top so zeros land
+            # in bin 0; the power-of-two re-binning above keeps them in
+            # bin 0 when a later batch establishes the real range.
+            top = 1e-12
         h, _ = np.histogram(a, bins=np.linspace(0.0, top, N_BINS + 1))
         hist = hist + h
         self.hists[name] = (hist, top)

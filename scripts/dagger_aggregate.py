@@ -51,6 +51,15 @@ def main() -> None:
             "dir": p,
         }
 
+    missing = [s for s, r in reports.items()
+               if "heldout_64_worlds" not in r["report"]]
+    if missing:
+        sys.exit(
+            f"seeds {missing} were run with --skip-heldout (no "
+            "heldout_64_worlds in their policy_report.json); re-run "
+            "scripts/dagger_train.py for those seeds without the flag — "
+            "the mean±std report needs every seed's held-out block"
+        )
     paths = ("f32", "int8", "pallas", "mega")
     agg = {}
     for path in paths:
@@ -152,20 +161,29 @@ def main() -> None:
         "per_seed_reports": {s: r["report"] for s, r in reports.items()},
         "collapse_diagnosis_rows": diagnosis_rows,
         "collapse_diagnosis": (
-            "The round-2 intra-round collapse (0.97 -> 0.19 between "
-            "round-end checkpoints) is a training-noise phenomenon made "
-            "visible by sparse evaluation: closed-loop success is a "
-            "discontinuous function of the policy (a single late swerve "
-            "flips a world's outcome), so adjacent SGD checkpoints can "
-            "differ by tens of points while val LOSS moves smoothly. "
-            "Per-epoch closed-loop selection inside every round bounds "
-            "the damage (epoch_spread quantifies per-round volatility), "
-            "and the per-round new_data stats show the amplifier: late "
-            "DAgger rounds aggregate cruise-dominated data "
-            "(near_obstacle_frac and mean_abs_lateral_cmd fall as the "
-            "policy improves), so continued fine-tuning on the full "
-            "aggregate dilutes avoidance behavior - which is why QAT "
-            "fine-tunes on the selected round's slice only."
+            "Two measured mechanisms (collapse_diagnosis_rows). "
+            "(1) Knife-edge parameter sensitivity: closed-loop success "
+            "is a discontinuous function of the policy — adjacent SGD "
+            "epochs swing 0.30 -> 0.94 -> 0.28 (epoch_spread up to 0.94 "
+            "within one round) while val LOSS moves smoothly, so "
+            "per-epoch closed-loop selection inside every round is "
+            "mandatory, and a single-epoch spike can be a "
+            "non-generalizing artifact (seed 1: 0.938 val, 0.797 "
+            "held-out — why cross-seed deploy selection re-evaluates on "
+            "256 expanded-val worlds). (2) On-policy distribution "
+            "shift, now quantified: round-0 expert data has "
+            "near_obstacle_frac ~0.23; every on-policy round drops to "
+            "0.04-0.11 (cruise-dominated). For the seeds whose rounds "
+            "collapsed to 0.00, the relabeled data also carries 5x "
+            "larger expert lateral commands (mean_abs_lateral_cmd "
+            "1.22-1.26 vs 0.23-0.28) — the expert issuing large "
+            "corrections toward the corridor on the drifting cruise "
+            "states the selected (knife-edge) policy visits — and "
+            "fine-tuning on that aggregate teaches open-space swerving, "
+            "collapsing success. Seed 0, whose on-policy relabels "
+            "stayed in-distribution (lat 0.26-0.28), recovered and "
+            "improved to 0.906 by round 3. This is also why QAT "
+            "fine-tunes on the selected round's data slice only."
         ),
     }
     with open(out / "policy_report.json", "w") as f:

@@ -116,14 +116,18 @@ class ValLoop:
 def data_stats(trajs) -> dict:
     """Distribution stats of a trajectory slice (collapse diagnosis).
 
-    near_frac: fraction of frames whose closest rendered depth is <3 m
-    (u8 depth = d/max_depth*255, so threshold 3/12*255). lat_cmd: mean
-    |lateral expert command| (y,z). Cruise-dominated late-round data
-    shows up as near_frac and lat_cmd dropping."""
+    near_frac: fraction of frames whose CLOSEST rendered point is <3 m.
+    Frames are inverse-depth u8 (sim/world.py:139-141: 255 at contact,
+    0 beyond max range, u8 = (1 - d/max_depth)*255), so "closest point"
+    is the BRIGHTEST pixel and the 3 m threshold is
+    (1 - 3/max_depth)*255 ≈ 191. lat_cmd: mean |lateral expert command|
+    (y,z). Cruise-dominated late-round data shows up as near_frac and
+    lat_cmd dropping."""
     near, lat, n = 0.0, 0.0, 0
+    thresh = (1.0 - 3.0 / WCFG.max_depth) * 255.0
     for t in trajs:
-        d_min = t.frames.reshape(t.frames.shape[0], -1).min(axis=1)
-        near += float((d_min < (3.0 / WCFG.max_depth) * 255.0).sum())
+        d_max = t.frames.reshape(t.frames.shape[0], -1).max(axis=1)
+        near += float((d_max > thresh).sum())
         lat += float(np.abs(t.cmd_gt[:, 1:]).sum())
         n += t.frames.shape[0]
     return {
@@ -172,8 +176,9 @@ def main() -> None:
     ap.add_argument("--tpu", action="store_true",
                     help="run on the TPU (default: force CPU backend)")
     ap.add_argument("--skip-heldout", action="store_true",
-                    help="stop after deploy selection (aggregator runs "
-                    "the held-out block once per seed otherwise)")
+                    help="stop after deploy selection (debug only: "
+                    "scripts/dagger_aggregate.py requires every seed's "
+                    "held-out block and refuses seeds run with this flag)")
     args = ap.parse_args()
 
     global VAL_N, VAL_STEPS, HELD_N

@@ -70,18 +70,18 @@ def main() -> None:
                 CFG, p, ip, f, v, q, s, glue_dtype=jnp.bfloat16,
                 encoder_layout="nhwc",
             )
-        elif kind == "mega_batch":
-            from drone_oa_iree_vit_accelerator_tpu.ops.pallas.batch_kernel import (
-                batched_model_forward,
-            )
-            from drone_oa_iree_vit_accelerator_tpu.ops.pallas.model_kernel import (
-                make_flagship_kernel_params,
+        elif kind == "turbo":
+            from drone_oa_iree_vit_accelerator_tpu.quant.batched import (
+                make_tail,
+                turbo_forward,
             )
 
-            kp = make_flagship_kernel_params(CFG, params, int_params)
+            tail = make_tail(CFG, params)
 
             def fwd(p, ip, f, v, q, s):
-                return batched_model_forward(CFG, kp, f, v, q, s)
+                return turbo_forward(
+                    CFG, p, ip, tail, f, v, q, s, encoder="pallas", max_nb=8
+                )
         else:
             fwd = lambda p, ip, f, v, q, s: M.forward(
                 CFG, p, f, v, q, s, encoder_layout="nhwc"

@@ -238,3 +238,35 @@ def test_encoder_kernel_out_dtype_and_pre_ln(setup):
     np.testing.assert_array_equal(
         np.asarray(got16), np.asarray(got.astype(jnp.bfloat16))
     )
+
+
+def test_turbo_head_spectral_norm_gated_on_config():
+    """fc2 spectral norm must follow cfg.spectral_norm_decoder, not the
+    mere presence of 'u' (init_params always creates u/v): for ITA_BASE
+    (spectral_norm_decoder=False) the turbo head must use the RAW
+    weight exactly like M.forward. Regression: with the head weights
+    dominating (bias zeroed), the wrongly normalized head scaled
+    commands by 1/sigma ~ 2.2x."""
+    params = M.init_params(ITA_BASE, jax.random.PRNGKey(21))
+    assert "u" in params["fc2"]  # the trap: u/v exist regardless of cfg
+    params["fc2"]["b"] = jnp.zeros_like(params["fc2"]["b"])
+    int_params, _ = QZ.calibrate_ptq(
+        ITA_BASE, params,
+        jax.random.randint(jax.random.PRNGKey(22), (8, 1, 60, 90), 0, 256,
+                           jnp.uint8),
+    )
+    fp = M.freeze_for_inference(ITA_BASE, params)
+    tail = make_tail(ITA_BASE, params, dtype=jnp.float32)
+    b = 2
+    frame = jax.random.uniform(jax.random.PRNGKey(23), (b, 1, 60, 90))
+    vel = jnp.ones((b, 1))
+    quat = jnp.zeros((b, 4)).at[:, 0].set(1.0)
+    state = M.zero_state(ITA_BASE, b)
+    ref, _ = QZ.int8_forward(ITA_BASE, fp, int_params, frame, vel, quat, state)
+    got, _ = turbo_forward(
+        ITA_BASE, fp, int_params, tail, frame, vel, quat, state,
+        encoder="int8", glue_dtype=jnp.float32,
+    )
+    # Relative agreement: a 2.2x head scaling fails this decisively.
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0.05, atol=1e-4)

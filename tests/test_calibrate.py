@@ -85,3 +85,23 @@ def test_threshold_functions():
     assert t_pct < 1.0         # percentile ignores the outlier
     assert t_ent < 10.0        # entropy clips below the raw max
     assert t_ent >= edges[100] * 0.5
+
+
+def test_streaming_sink_counts_all_zero_leading_batch():
+    """An all-zero first batch must not be dropped: degenerate [0, 0]
+    histogram edges silently counted nothing (regression). Zeros must
+    land in bin 0 and survive the range growth when a later batch
+    establishes the real top edge."""
+    import numpy as np
+
+    from drone_oa_iree_vit_accelerator_tpu.quant.calibrate import _StageSink
+
+    sink = _StageSink()
+    sink.add("s", np.zeros((4, 8), np.float32))
+    hist, _ = sink.histogram("s")
+    assert hist.sum() == 32 and hist[0] == 32
+    sink.add("s", np.full((2, 8), 1.5, np.float32))
+    hist, edges = sink.histogram("s")
+    assert hist.sum() == 48
+    assert hist[0] >= 32  # the zeros stayed in bin 0 through re-binning
+    assert edges[-1] >= 1.5
