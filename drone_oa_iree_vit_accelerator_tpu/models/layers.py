@@ -315,6 +315,75 @@ def tokenizer_tokens_factored(
     return tokens + p["conv"]["b"].astype(f32)
 
 
+_TOKEN_OP2_CACHE: dict = {}
+
+
+def tokenizer_tokens_factored2(
+    x: jax.Array, p: dict, cfg, dtype=None
+) -> jax.Array:
+    """B-major two-GEMM form of the factored conv+resize tokenizer.
+
+    Same linear operator as tokenizer_tokens_factored (equal up to f32
+    summation order), restructured so the batch axis stays MAJOR through
+    both GEMMs and the second GEMM's output is (B, th, tw, E) — a free
+    reshape to the (B, S, E) the encoder kernel consumes:
+
+        U[b, W, (th,dy)]    = sum_H  X[b,H,W] * Ah[dy,th,H]
+        tokens[b,th,tw,e]   = sum_{W,dy} U * N[W,dy,tw,e],
+        N[W,dy,tw,e]        = sum_dx Aw[dx,tw,W] * w_conv[e,dy,dx]
+
+    MEASURED SLOWER than the 3-GEMM form on the turbo path at b1024
+    (1.100 vs 0.964 ms/step, device traces) and therefore NOT the
+    default: the hypothesis was that keeping batch major would avoid the
+    3-GEMM form's two ~42 us boundary layout copies (docs/
+    op_breakdown_bench.json copy.20/copy.25), but the second GEMM's 4x
+    FLOPs (10.6 vs 2.5 GFLOP at b1024) plus XLA's relayout for the
+    non-adjacent (W, dy) contraction cost more than the copies saved.
+    Kept as a verified negative result + alternative formulation
+    (tests/test_quant_extras.py pins its numerical equivalence).
+    """
+    key = (cfg.img_hw, cfg.patch_size, cfg.patch_stride, cfg.patch_padding,
+           cfg.token_hw)
+    if key not in _TOKEN_OP_CACHE:
+        _TOKEN_OP_CACHE[key] = _token_operator(cfg)
+    k = cfg.patch_size
+    th, tw = cfg.token_hw
+    h, w = cfg.img_hw
+    b = x.shape[0]
+    dt = dtype or x.dtype
+    f32 = jnp.float32
+
+    key2 = key + (cfg.E,)
+    if key2 not in _TOKEN_OP2_CACHE:
+        import numpy as np
+
+        ah_np, aw_np = _TOKEN_OP_CACHE[key]
+        # (H, th, dy) flattened -> columns ordered th-major, dy-minor.
+        aht = ah_np.transpose(2, 1, 0).reshape(h, th * k)
+        _TOKEN_OP2_CACHE[key2] = (aht, aw_np)
+    aht_np, aw_np = _TOKEN_OP2_CACHE[key2]
+
+    aht = jnp.asarray(aht_np, dt)                    # (H, th*k)
+    # N[W, dy, tw, e] = sum_dx Aw[dx, tw, W] * w_conv[e, dy, dx] — built
+    # from the (traced) conv weight so updated params flow through.
+    wk = p["conv"]["w"].reshape(cfg.E, k, k)         # (E, dy, dx)
+    n_mat = jnp.einsum(
+        "xtw,edx->wdte", jnp.asarray(aw_np, f32), wk.astype(f32)
+    ).astype(dt)                                     # (W, dy, tw, E)
+
+    xs = x.reshape(b, h, w).astype(dt)
+    # GEMM 1 (contract H): (B, H, W) x (H, th*k) -> (B, W, th*k).
+    u = jax.lax.dot_general(
+        xs, aht, (((1,), (0,)), ((), ())), preferred_element_type=f32
+    )
+    u4 = u.astype(dt).reshape(b, w, th, k)
+    # GEMM 2 (contract W, dy): -> (B, th, tw, E), reshape-free to (B,S,E).
+    tokens = jax.lax.dot_general(
+        u4, n_mat, (((1, 3), (0, 1)), ((), ())), preferred_element_type=f32
+    ).reshape(b, th * tw, cfg.E)
+    return tokens + p["conv"]["b"].astype(f32)
+
+
 def pixel_shuffle_nhwc(x: jax.Array, r: int) -> jax.Array:
     """torch nn.PixelShuffle semantics on an NHWC array.
 

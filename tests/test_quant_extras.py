@@ -155,3 +155,18 @@ def test_tokenizer_forward_nchw_kron_path_matches_small_batch():
         ]
     )
     np.testing.assert_allclose(big, small, rtol=1e-4, atol=1e-5)
+
+
+def test_tokenizer_factored2_matches_factored():
+    """The B-major 2-GEMM tokenizer (tokenizer_tokens_factored2 — kept
+    as a measured-slower alternative, see its docstring) computes the
+    same linear operator as the 3-GEMM factored form up to f32
+    summation order."""
+    from drone_oa_iree_vit_accelerator_tpu.models import layers as L
+
+    key = jax.random.PRNGKey(13)
+    params = M.init_params(CFG, key)
+    frames = jax.random.uniform(key, (8, 1, 60, 90), jnp.float32)
+    a = L.tokenizer_tokens_factored(frames, params["tokenizer"], CFG)
+    b = L.tokenizer_tokens_factored2(frames, params["tokenizer"], CFG)
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=5e-3)
