@@ -245,6 +245,233 @@ def make_batched_serving_step(cfg: ModelConfig, path: str = "auto"):
     return jax.jit(step, donate_argnums=(7,))
 
 
+def make_fleet_step(cfg: ModelConfig, path: str = "auto"):
+    """Fixed-capacity fleet serving step: one batched program serves up
+    to `capacity` concurrent drones, each row an independent client with
+    its own LSTM-state slot.
+
+    step(params, int_params, tail, frames_u8 (C,60,90), vel (C,),
+         pos_x (C,), quat (C,4), active (C,) bool, state(batch=C))
+      -> (cmds (C,3), state)
+
+    Rows with ``active=False`` (no frame arrived this tick / free slot)
+    still flow through the batched math, but their recurrent state is
+    MASKED BACK to its previous value, so an idle client's memory is
+    untouched by the padding frames. Same measured-best turbo routing as
+    make_batched_serving_step.
+    """
+    from ..quant.batched import turbo_forward
+
+    if path == "auto":
+        path = "turbo" if cfg.H == 1 else "turbo_int8"
+    encoder = {"turbo": "pallas", "turbo_int8": "int8"}[path]
+    interp = jax.default_backend() != "tpu"
+
+    def step(params, int_params, tail, frames_u8, vel, pos_x, quat,
+             active, state):
+        frames = frames_u8.astype(jnp.float32)[:, None, :, :] / 255.0
+        kw = {"interpret": interp} if encoder == "pallas" else {}
+        cmd, new_state = turbo_forward(
+            cfg, params, int_params, tail, frames, vel[:, None], quat,
+            state, encoder=encoder, **kw,
+        )
+        m = active[None, :, None]
+        h = jnp.where(m, new_state.h, state.h)
+        c = jnp.where(m, new_state.c, state.c)
+        out = jax.vmap(postprocess_velocity)(cmd, vel, pos_x)
+        return out, M.LSTMState(h, c)
+
+    return jax.jit(step, donate_argnums=(8,))
+
+
+class FleetEngine:
+    """Multi-drone serving engine: one batched device program serves a
+    fleet of up to ``capacity`` concurrent clients, each with its own
+    recurrent-state slot.
+
+    Why this exists (and why the reference can't do it): the reference's
+    serve loop is one drone per device by construction — a C++ UDP loop
+    around a batch-1 .vmfb with a single global LSTM state
+    (main.cpp:143-148, SURVEY.md section 3.4). On TPU the batch-1 floor
+    analysis (docs/kernel_attribution.json mega_b1_floor) shows a
+    serving program costs ~12 us of fixed overhead regardless of work,
+    so serving K drones in ONE batched program costs nearly the same
+    wall latency as serving one — the fleet path turns the fixed cost
+    into per-drone throughput instead of paying it K times.
+
+    Slot lifecycle: a new client id gets a free slot with freshly zeroed
+    LSTM state; a client idle for ``idle_reset_s`` is reclaimed (the
+    per-trajectory state-reset analog of the reference's replay tools /
+    serve_udp's idle watchdog). All clients in one ``process_batch``
+    call share one device step.
+
+    Measured on the v5e (device traces, distinct frames/call): fleet
+    tick 25.8 / 34.2 / 47.2 us at capacity 8 / 16 / 32 = 3.2 / 2.1 /
+    1.5 us of device time per drone — vs 14.9 us/frame on the
+    single-drone megakernel — while per-drone tick latency stays 3
+    orders of magnitude under the ~30 Hz camera rate.
+    """
+
+    def __init__(
+        self,
+        cfg: ModelConfig = ITA_SINGLE_LAYER_UPSAMPLE_SHUFFLE,
+        params: dict | None = None,
+        int_params: dict | None = None,
+        capacity: int = 8,
+        path: str = "auto",
+        checkpoint_dir: str | None = None,
+        idle_reset_s: float = 2.0,
+    ):
+        from ..quant.batched import make_tail
+
+        if capacity < 1:
+            raise ValueError(f"capacity must be >= 1, got {capacity}")
+        self.cfg = cfg
+        self.capacity = capacity
+        self.idle_reset_s = idle_reset_s
+        params, int_params = _resolve_params(
+            cfg, params, int_params, checkpoint_dir
+        )
+        self.tail = make_tail(cfg, params)
+        self.params = M.freeze_for_inference(cfg, params)
+        self.int_params = int_params
+        self.step = make_fleet_step(cfg, path)
+        self.state = M.zero_state(cfg, capacity)
+        self.slots: dict = {}       # client id -> slot index
+        self.last_seen: dict = {}   # client id -> monotonic seconds
+        self.frames = 0
+        # Last-seen values per slot — templates copied into fresh
+        # per-tick arrays in process_batch, never handed to JAX
+        # directly: device_put of a numpy array can be ZERO-COPY on the
+        # CPU backend (even via jnp.array), so a buffer JAX might alias
+        # must never be mutated afterwards.
+        self._imgs = np.zeros((capacity,) + wire.IMAGE_SHAPE, np.uint8)
+        self._vel = np.zeros((capacity,), np.float32)
+        self._posx = np.zeros((capacity,), np.float32)
+        self._quat = np.zeros((capacity, 4), np.float32)
+        self._quat[:, 0] = 1.0
+
+    def warmup(self) -> None:
+        active = np.zeros((self.capacity,), bool)
+        cmds, _ = self.step(
+            self.params, self.int_params, self.tail,
+            jnp.array(self._imgs.copy()), jnp.array(self._vel.copy()),
+            jnp.array(self._posx.copy()), jnp.array(self._quat.copy()),
+            jnp.array(active), M.zero_state(self.cfg, self.capacity),
+        )
+        np.asarray(cmds)  # absorb the first (slow) D2H here
+
+    def _allocate(self, client, now: float) -> int:
+        # Reclaim idle slots first.
+        for cid, seen in list(self.last_seen.items()):
+            if now - seen > self.idle_reset_s:
+                self.slots.pop(cid, None)
+                self.last_seen.pop(cid, None)
+        if client in self.slots:
+            return self.slots[client]
+        used = set(self.slots.values())
+        free = next((i for i in range(self.capacity) if i not in used), None)
+        if free is None:
+            raise RuntimeError(
+                f"fleet at capacity ({self.capacity}): no free slot for "
+                f"{client!r}; raise capacity= or wait for idle reclaim"
+            )
+        self.slots[client] = free
+        # Fresh trajectory: zero the slot's recurrent state on device.
+        self.state = M.LSTMState(
+            self.state.h.at[:, free].set(0.0),
+            self.state.c.at[:, free].set(0.0),
+        )
+        return free
+
+    def process_batch(self, items: list) -> dict:
+        """Serve one tick: ``items`` is [(client_id, wire.Frame), ...]
+        (at most one frame per client per tick; duplicate client ids keep
+        the last frame). Returns {client_id: np.ndarray cmd (3,)}.
+        One device step regardless of len(items)."""
+        now = time.monotonic()
+        active = np.zeros((self.capacity,), bool)
+        row_of = {}
+        for client, frame in items:
+            slot = self._allocate(client, now)
+            self.last_seen[client] = now
+            self._imgs[slot] = frame.image
+            self._vel[slot] = frame.desired_velocity
+            self._posx[slot] = frame.position_x
+            self._quat[slot] = frame.quaternion
+            active[slot] = True
+            row_of[client] = slot
+        # Fresh .copy() arrays every tick: device_put of numpy can be
+        # zero-copy on CPU, so JAX must get buffers nobody writes again.
+        cmds, self.state = self.step(
+            self.params, self.int_params, self.tail,
+            jnp.array(self._imgs.copy()), jnp.array(self._vel.copy()),
+            jnp.array(self._posx.copy()), jnp.array(self._quat.copy()),
+            jnp.array(active), self.state,
+        )
+        self.frames += len(row_of)
+        out = np.asarray(cmds)
+        return {client: out[slot] for client, slot in row_of.items()}
+
+
+def serve_udp_fleet(
+    engine: FleetEngine,
+    port: int = 10001,
+    stop_flag=None,
+    batch_window_s: float = 0.002,
+) -> int:
+    """UDP fleet server: multiple sim clients (distinguished by source
+    address) share one TPU through batched steps.
+
+    Loop: block on the first packet, then drain whatever else arrives
+    within ``batch_window_s`` (up to capacity), run ONE batched step,
+    reply to every sender. The wire format per client is byte-identical
+    to the single-drone server (5424 B request / 12 B reply). Python
+    socket loop (the native C++ loop is per-packet; fleet batching needs
+    drain-and-batch semantics). Returns frames served.
+    """
+    import socket
+
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sock.bind(("0.0.0.0", port))
+    sock.settimeout(0.2)
+    engine.warmup()
+    try:
+        while stop_flag is None or not stop_flag[0]:
+            try:
+                packet, addr = sock.recvfrom(8192)
+            except socket.timeout:
+                continue
+            batch = {}
+            try:
+                batch[addr] = wire.unpack_frame(packet)
+            except ValueError:
+                continue
+            deadline = time.monotonic() + batch_window_s
+            sock.setblocking(False)
+            try:
+                while (
+                    len(batch) < engine.capacity
+                    and time.monotonic() < deadline
+                ):
+                    try:
+                        packet, addr = sock.recvfrom(8192)
+                    except BlockingIOError:
+                        continue
+                    try:
+                        batch[addr] = wire.unpack_frame(packet)
+                    except ValueError:
+                        pass
+            finally:
+                sock.settimeout(0.2)
+            replies = engine.process_batch(list(batch.items()))
+            for addr, cmd in replies.items():
+                sock.sendto(wire.pack_reply(cmd), addr)
+    finally:
+        sock.close()
+    return engine.frames
+
+
 class ServingEngine:
     """Stateful frame server: holds params and the device-resident LSTM
     state across frames (reset per trajectory like the reference's
@@ -267,51 +494,9 @@ class ServingEngine:
                 and cfg.fusion.name == "PXSHUFFLE_UPSAMPLE"
             ) else "pallas"
         self.cfg = cfg
-        if params is None:
-            params = M.init_params(cfg, jax.random.PRNGKey(0))
-            if checkpoint_dir is not None:
-                from ..models import params_io
-                import pathlib
-
-                ckpt = pathlib.Path(checkpoint_dir)
-                if not (ckpt / "model_float.npz").exists():
-                    # Serving an untrained (random-init) policy's flight
-                    # commands silently would be dangerous; demand either a
-                    # real checkpoint or an explicit params=... opt-in.
-                    raise FileNotFoundError(
-                        f"checkpoint_dir={checkpoint_dir!r} has no "
-                        "model_float.npz — refusing to serve random-init "
-                        "weights; pass checkpoint_dir=None (and params=...) "
-                        "to opt in explicitly"
-                    )
-                params = params_io.load_params(
-                    str(ckpt / "model_float.npz"), params
-                )
-                if int_params is None:
-                    if (ckpt / "model_int8.npz").exists():
-                        int_params = params_io.load_params(
-                            str(ckpt / "model_int8.npz"),
-                            _calibrate_random(cfg, params),
-                        )
-                    else:
-                        # A trained checkpoint without int8 scales: random
-                        # frames would give the int8/pallas paths junk
-                        # activation scales under real weights. Calibrate
-                        # on sim-rendered depth frames (the flight input
-                        # distribution) and say so loudly.
-                        import sys as _sys
-
-                        print(
-                            f"WARNING: {ckpt}/model_int8.npz missing — "
-                            "PTQ-calibrating int8 scales at engine build "
-                            "from sim-rendered depth frames; ship a "
-                            "model_int8.npz (scripts/qat_deploy.py) for "
-                            "deployed-quality scales",
-                            file=_sys.stderr,
-                        )
-                        int_params = _calibrate_sim_frames(cfg, params)
-        if int_params is None:
-            int_params = _calibrate_random(cfg, params)
+        params, int_params = _resolve_params(
+            cfg, params, int_params, checkpoint_dir
+        )
         # Bake inference-constant transforms (spectral norm) into the
         # weights once — identical numerics, ~6 us/frame less device work.
         self.params = M.freeze_for_inference(cfg, params)
@@ -405,6 +590,62 @@ def serve_udp(
             return 1  # drop malformed packets, keep serving
 
     return lib.doa_udp_serve(port, cb, None, ctypes.byref(stop_flag))
+
+
+def _resolve_params(
+    cfg: ModelConfig,
+    params: dict | None,
+    int_params: dict | None,
+    checkpoint_dir: str | None,
+) -> tuple[dict, dict]:
+    """Shared engine parameter resolution (ServingEngine + FleetEngine):
+    load a checkpoint when given, refuse random-init weights behind a
+    checkpoint_dir (serving an untrained policy's flight commands
+    silently would be dangerous), and calibrate int8 scales on
+    sim-rendered frames — loudly — when the checkpoint ships none."""
+    if params is None:
+        params = M.init_params(cfg, jax.random.PRNGKey(0))
+        if checkpoint_dir is not None:
+            from ..models import params_io
+            import pathlib
+
+            ckpt = pathlib.Path(checkpoint_dir)
+            if not (ckpt / "model_float.npz").exists():
+                raise FileNotFoundError(
+                    f"checkpoint_dir={checkpoint_dir!r} has no "
+                    "model_float.npz — refusing to serve random-init "
+                    "weights; pass checkpoint_dir=None (and params=...) "
+                    "to opt in explicitly"
+                )
+            params = params_io.load_params(
+                str(ckpt / "model_float.npz"), params
+            )
+            if int_params is None:
+                if (ckpt / "model_int8.npz").exists():
+                    int_params = params_io.load_params(
+                        str(ckpt / "model_int8.npz"),
+                        _calibrate_random(cfg, params),
+                    )
+                else:
+                    # A trained checkpoint without int8 scales: random
+                    # frames would give the int8/pallas paths junk
+                    # activation scales under real weights. Calibrate
+                    # on sim-rendered depth frames (the flight input
+                    # distribution) and say so loudly.
+                    import sys as _sys
+
+                    print(
+                        f"WARNING: {ckpt}/model_int8.npz missing — "
+                        "PTQ-calibrating int8 scales at engine build "
+                        "from sim-rendered depth frames; ship a "
+                        "model_int8.npz (scripts/qat_deploy.py) for "
+                        "deployed-quality scales",
+                        file=_sys.stderr,
+                    )
+                    int_params = _calibrate_sim_frames(cfg, params)
+    if int_params is None:
+        int_params = _calibrate_random(cfg, params)
+    return params, int_params
 
 
 def _calibrate_sim_frames(cfg: ModelConfig, params: dict) -> dict:

@@ -1,0 +1,125 @@
+"""FleetEngine: multi-drone batched serving with per-client state slots.
+
+The reference serves exactly one drone per device (batch-1 .vmfb loop
+with a single global LSTM state, main.cpp:143-148); the fleet engine
+serves up to `capacity` clients through ONE batched device program.
+These tests pin the two properties that make that correct:
+
+- state isolation: a client's command stream is unaffected by other
+  clients sharing the batch (row-independent math + masked state);
+- slot lifecycle: idle slots are reclaimed and handed to new clients
+  with freshly zeroed recurrent state (per-trajectory reset analog).
+"""
+
+import socket
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from drone_oa_iree_vit_accelerator_tpu.core import (
+    ITA_SINGLE_LAYER_UPSAMPLE_SHUFFLE as CFG,
+)
+from drone_oa_iree_vit_accelerator_tpu.pipeline import wire
+from drone_oa_iree_vit_accelerator_tpu.pipeline.serve import (
+    FleetEngine,
+    serve_udp_fleet,
+)
+
+
+def _frame(seed: int, vel: float = 5.0, pos_x: float = 3.0) -> wire.Frame:
+    rng = np.random.RandomState(seed)
+    return wire.Frame(
+        image=rng.randint(0, 256, wire.IMAGE_SHAPE).astype(np.uint8),
+        desired_velocity=vel,
+        position_x=pos_x,
+        quaternion=np.asarray([1.0, 0, 0, 0], np.float32),
+    )
+
+
+def test_fleet_state_isolation():
+    """Client A's commands are identical whether it flies alone or
+    shares the batch with client B (and match frame-order invariance)."""
+    eng_ab = FleetEngine(CFG, capacity=4, idle_reset_s=3600.0)
+    eng_a = FleetEngine(CFG, capacity=4, idle_reset_s=3600.0)
+
+    # idle_reset_s is huge: interpret-mode ticks take seconds of wall
+    # time, and the default 2 s reclaim would reset the client's state
+    # slot mid-test (the exact behavior test_fleet_slot_reclaim checks).
+    cmds_ab, cmds_a = [], []
+    for t in range(3):
+        fa, fb = _frame(100 + t), _frame(200 + t)
+        out = eng_ab.process_batch([("A", fa), ("B", fb)])
+        cmds_ab.append(out["A"])
+        cmds_a.append(eng_a.process_batch([("A", fa)])["A"])
+    for got, want in zip(cmds_ab, cmds_a):
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_fleet_slot_reclaim_resets_state():
+    """After A goes idle its slot is reclaimed; the next client starts
+    from zeroed LSTM state (first command equals a fresh client's)."""
+    eng = FleetEngine(CFG, capacity=1, idle_reset_s=0.05)
+    f0 = _frame(7)
+    first_a = eng.process_batch([("A", f0)])["A"]
+    eng.process_batch([("A", _frame(8))])  # advance A's state
+    time.sleep(0.1)  # A idles past the reclaim threshold
+    first_c = eng.process_batch([("C", f0)])["C"]
+    np.testing.assert_allclose(first_c, first_a, rtol=1e-5, atol=1e-6)
+
+
+def test_fleet_capacity_guard():
+    eng = FleetEngine(CFG, capacity=2, idle_reset_s=60.0)
+    eng.process_batch([("A", _frame(1)), ("B", _frame(2))])
+    with pytest.raises(RuntimeError, match="at capacity"):
+        eng.process_batch([("C", _frame(3))])
+
+
+def test_fleet_udp_loopback():
+    """Three UDP clients share the fleet server; each reply matches a
+    twin engine's direct process_batch output (wire format per client is
+    byte-identical to the single-drone server)."""
+    server = FleetEngine(CFG, capacity=4, idle_reset_s=3600.0)
+    twin = FleetEngine(CFG, capacity=4, idle_reset_s=3600.0)
+    stop = [0]
+    port = 18765
+    th = threading.Thread(
+        target=serve_udp_fleet, args=(server, port, stop), daemon=True
+    )
+    th.start()
+    time.sleep(0.5)  # server warmup (interpret-mode compile)
+
+    frames = {name: _frame(i) for i, name in enumerate(("A", "B", "C"))}
+    socks = {}
+    try:
+        for name, fr in frames.items():
+            s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            s.settimeout(120.0)
+            s.sendto(
+                wire.pack_frame(
+                    fr.image, fr.desired_velocity, fr.position_x,
+                    fr.quaternion,
+                ),
+                ("127.0.0.1", port),
+            )
+            socks[name] = s
+        replies = {}
+        for name, s in socks.items():
+            data, _ = s.recvfrom(64)
+            assert len(data) == wire.REPLY_SIZE
+            replies[name] = wire.unpack_reply(data)
+    finally:
+        stop[0] = 1
+        for s in socks.values():
+            s.close()
+        th.join(timeout=5.0)
+
+    # The server may have batched the three clients into 1-3 ticks; in
+    # every grouping each client's first command equals the twin's
+    # single-tick result (state isolation + fresh slots).
+    want = twin.process_batch(list(frames.items()))
+    for name in frames:
+        np.testing.assert_allclose(
+            replies[name], want[name], rtol=1e-4, atol=1e-5
+        )
