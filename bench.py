@@ -317,6 +317,46 @@ def main() -> None:
             base_int_flops, kind in INT_PATHS,
         )
 
+    # Fleet serving (round 3): K drones share the chip through one
+    # batched program per tick (pipeline/serve.FleetEngine); the batch-1
+    # fixed program overhead (~12 us, docs/kernel_attribution.json)
+    # amortizes across the fleet.
+    from drone_oa_iree_vit_accelerator_tpu.pipeline.serve import (
+        make_fleet_step,
+    )
+
+    fleet = {}
+    for cap in (8, 16, 32):
+        fstep = make_fleet_step(CFG)
+        fvel = jnp.full((cap,), 5.0)
+        fposx = jnp.full((cap,), 3.0)
+        fquat = jnp.tile(jnp.asarray([[1.0, 0, 0, 0]], jnp.float32), (cap, 1))
+        fact = jnp.ones((cap,), bool)
+        ncalls = 40
+        fimgs = [
+            jax.random.randint(jax.random.PRNGKey(5000 + cap * 100 + i),
+                               (cap, 60, 90), 0, 256, jnp.uint8)
+            for i in range(ncalls + 1)
+        ]
+        jax.block_until_ready(fimgs)
+        fargs = [
+            (params, int_params, tail, fimgs[i + 1], fvel, fposx, fquat,
+             fact, M.zero_state(CFG, cap))
+            for i in range(ncalls)
+        ]
+        fwarm = (params, int_params, tail, fimgs[0], fvel, fposx, fquat,
+                 fact, M.zero_state(CFG, cap))
+        t = device_time_per_call(fstep, fargs, warmup_args=fwarm)
+        if t.n_executions < ncalls:
+            t = device_time_per_call(fstep, fargs, warmup_args=fwarm,
+                                     settle_s=3.0)
+        us = t.per_call_ms * 1e3
+        fleet[f"capacity{cap}"] = {
+            "tick_us": round(us, 2),
+            "us_per_drone": round(us / cap, 2),
+            "aggregate_fps": round(cap / us * 1e6, 0),
+        }
+
     best_kind, best = max(
         ((k, v) for k, v in results.items() if "_b" in k and not
          k.endswith("_b1")),
@@ -362,6 +402,7 @@ def main() -> None:
         "encoder_int_flops_per_frame": int_flops,
         "paths": results,
         "ita_base": base,
+        "fleet": fleet,
         "op_breakdown_file": "docs/op_breakdown_bench.json",
         "timing_source": "jax.profiler device trace (host wall-time is a relay artifact on this platform); percentiles from per-execution spans",
         "backend": jax.default_backend(),
