@@ -339,15 +339,24 @@ def main() -> None:
             for i in range(ncalls + 1)
         ]
         jax.block_until_ready(fimgs)
-        fargs = [
-            (params, int_params, tail, fimgs[i + 1], fvel, fposx, fquat,
-             fact, M.zero_state(CFG, cap))
-            for i in range(ncalls)
-        ]
-        fwarm = (params, int_params, tail, fimgs[0], fvel, fposx, fquat,
-                 fact, M.zero_state(CFG, cap))
+        # The fleet step donates its state arg: rebuild args for every
+        # attempt (reusing a donated zero_state raises ArrayDeleted on
+        # the retry).
+        def fleet_args():
+            return (
+                [
+                    (params, int_params, tail, fimgs[i + 1], fvel, fposx,
+                     fquat, fact, M.zero_state(CFG, cap))
+                    for i in range(ncalls)
+                ],
+                (params, int_params, tail, fimgs[0], fvel, fposx, fquat,
+                 fact, M.zero_state(CFG, cap)),
+            )
+
+        fargs, fwarm = fleet_args()
         t = device_time_per_call(fstep, fargs, warmup_args=fwarm)
         if t.n_executions < ncalls:
+            fargs, fwarm = fleet_args()
             t = device_time_per_call(fstep, fargs, warmup_args=fwarm,
                                      settle_s=3.0)
         us = t.per_call_ms * 1e3

@@ -225,24 +225,7 @@ def make_batched_serving_step(cfg: ModelConfig, path: str = "auto"):
     ``tail`` is the precomposed fusion+decoder matrix
     (quant.batched.make_tail) — build once per deployment.
     """
-    from ..quant.batched import turbo_forward
-
-    if path == "auto":
-        path = "turbo" if cfg.H == 1 else "turbo_int8"
-    encoder = {"turbo": "pallas", "turbo_int8": "int8"}[path]
-    interp = jax.default_backend() != "tpu"
-
-    def step(params, int_params, tail, frames_u8, vel, pos_x, quat, state):
-        frames = frames_u8.astype(jnp.float32)[:, None, :, :] / 255.0
-        kw = {"interpret": interp} if encoder == "pallas" else {}
-        cmd, new_state = turbo_forward(
-            cfg, params, int_params, tail, frames, vel[:, None], quat,
-            state, encoder=encoder, **kw,
-        )
-        out = jax.vmap(postprocess_velocity)(cmd, vel, pos_x)
-        return out, new_state
-
-    return jax.jit(step, donate_argnums=(7,))
+    return _make_turbo_step(cfg, path, masked=False)
 
 
 def make_fleet_step(cfg: ModelConfig, path: str = "auto"):
@@ -258,8 +241,16 @@ def make_fleet_step(cfg: ModelConfig, path: str = "auto"):
     still flow through the batched math, but their recurrent state is
     MASKED BACK to its previous value, so an idle client's memory is
     untouched by the padding frames. Same measured-best turbo routing as
-    make_batched_serving_step.
+    make_batched_serving_step (one shared builder).
     """
+    return _make_turbo_step(cfg, path, masked=True)
+
+
+def _make_turbo_step(cfg: ModelConfig, path: str, masked: bool):
+    """Shared builder behind make_batched_serving_step (masked=False)
+    and make_fleet_step (masked=True): one copy of the measured-best
+    routing policy and the turbo step body; the fleet variant adds the
+    active mask that gates recurrent-state updates."""
     from ..quant.batched import turbo_forward
 
     if path == "auto":
@@ -267,19 +258,29 @@ def make_fleet_step(cfg: ModelConfig, path: str = "auto"):
     encoder = {"turbo": "pallas", "turbo_int8": "int8"}[path]
     interp = jax.default_backend() != "tpu"
 
-    def step(params, int_params, tail, frames_u8, vel, pos_x, quat,
-             active, state):
+    def core(params, int_params, tail, frames_u8, vel, pos_x, quat, state):
         frames = frames_u8.astype(jnp.float32)[:, None, :, :] / 255.0
         kw = {"interpret": interp} if encoder == "pallas" else {}
         cmd, new_state = turbo_forward(
             cfg, params, int_params, tail, frames, vel[:, None], quat,
             state, encoder=encoder, **kw,
         )
-        m = active[None, :, None]
-        h = jnp.where(m, new_state.h, state.h)
-        c = jnp.where(m, new_state.c, state.c)
         out = jax.vmap(postprocess_velocity)(cmd, vel, pos_x)
-        return out, M.LSTMState(h, c)
+        return out, new_state
+
+    if not masked:
+        return jax.jit(core, donate_argnums=(7,))
+
+    def step(params, int_params, tail, frames_u8, vel, pos_x, quat,
+             active, state):
+        out, new_state = core(
+            params, int_params, tail, frames_u8, vel, pos_x, quat, state
+        )
+        m = active[None, :, None]
+        return out, M.LSTMState(
+            jnp.where(m, new_state.h, state.h),
+            jnp.where(m, new_state.c, state.c),
+        )
 
     return jax.jit(step, donate_argnums=(8,))
 
@@ -361,39 +362,63 @@ class FleetEngine:
         )
         np.asarray(cmds)  # absorb the first (slow) D2H here
 
-    def _allocate(self, client, now: float) -> int:
-        # Reclaim idle slots first.
-        for cid, seen in list(self.last_seen.items()):
-            if now - seen > self.idle_reset_s:
-                self.slots.pop(cid, None)
-                self.last_seen.pop(cid, None)
-        if client in self.slots:
-            return self.slots[client]
-        used = set(self.slots.values())
-        free = next((i for i in range(self.capacity) if i not in used), None)
-        if free is None:
-            raise RuntimeError(
-                f"fleet at capacity ({self.capacity}): no free slot for "
-                f"{client!r}; raise capacity= or wait for idle reclaim"
-            )
-        self.slots[client] = free
-        # Fresh trajectory: zero the slot's recurrent state on device.
-        self.state = M.LSTMState(
-            self.state.h.at[:, free].set(0.0),
-            self.state.c.at[:, free].set(0.0),
+    def _plan_slots(self, clients: list, now: float) -> tuple[dict, set]:
+        """Resolve a slot for every client WITHOUT mutating engine state
+        — the atomicity barrier: if the batch doesn't fit, this raises
+        before any reclaim/zeroing/staging has happened. Returns
+        ({client: (slot, is_new)}, stale_client_ids); idle assignments
+        (older than idle_reset_s) count as free and are reclaimed by the
+        caller on commit."""
+        stale = {
+            cid for cid, seen in self.last_seen.items()
+            if now - seen > self.idle_reset_s
+        }
+        live = {c: s for c, s in self.slots.items() if c not in stale}
+        plan = {}
+        free = iter(
+            i for i in range(self.capacity) if i not in set(live.values())
         )
-        return free
+        for client in clients:
+            if client in plan:
+                continue
+            if client in live:
+                plan[client] = (live[client], False)
+                continue
+            slot = next(free, None)
+            if slot is None:
+                raise RuntimeError(
+                    f"fleet at capacity ({self.capacity}): no free slot "
+                    f"for {client!r}; raise capacity= or wait for idle "
+                    "reclaim"
+                )
+            live[client] = slot
+            plan[client] = (slot, True)  # fresh slot: zero its state
+        return plan, stale
 
     def process_batch(self, items: list) -> dict:
         """Serve one tick: ``items`` is [(client_id, wire.Frame), ...]
         (at most one frame per client per tick; duplicate client ids keep
         the last frame). Returns {client_id: np.ndarray cmd (3,)}.
-        One device step regardless of len(items)."""
+        One device step regardless of len(items). All-or-nothing: a
+        capacity overflow raises BEFORE any slot/state/staging mutation."""
         now = time.monotonic()
+        plan, stale = self._plan_slots([c for c, _ in items], now)
+        # Commit: reclaim stale ids, zero freshly allocated state slots.
+        for cid in stale:
+            self.slots.pop(cid, None)
+            self.last_seen.pop(cid, None)
+        new_slots = [slot for slot, is_new in plan.values() if is_new]
+        if new_slots:
+            h, c = self.state
+            for slot in new_slots:
+                h = h.at[:, slot].set(0.0)
+                c = c.at[:, slot].set(0.0)
+            self.state = M.LSTMState(h, c)
         active = np.zeros((self.capacity,), bool)
         row_of = {}
         for client, frame in items:
-            slot = self._allocate(client, now)
+            slot = plan[client][0]
+            self.slots[client] = slot
             self.last_seen[client] = now
             self._imgs[slot] = frame.image
             self._vel[slot] = frame.desired_velocity
@@ -419,6 +444,7 @@ def serve_udp_fleet(
     port: int = 10001,
     stop_flag=None,
     batch_window_s: float = 0.002,
+    port_out: list | None = None,
 ) -> int:
     """UDP fleet server: multiple sim clients (distinguished by source
     address) share one TPU through batched steps.
@@ -428,12 +454,23 @@ def serve_udp_fleet(
     reply to every sender. The wire format per client is byte-identical
     to the single-drone server (5424 B request / 12 B reply). Python
     socket loop (the native C++ loop is per-packet; fleet batching needs
-    drain-and-batch semantics). Returns frames served.
+    drain-and-batch semantics). The drain waits in select(), never
+    busy-spins — this host has one core and a hot loop starves the TPU
+    relay client. A serving error (e.g. fleet-at-capacity from a stray
+    source address — any 5424-byte datagram parses as a frame) drops
+    that tick and keeps serving, like the single-drone loop's callback.
+
+    ``port=0`` binds an ephemeral port; ``port_out`` (a list), when
+    given, receives the actual bound port before serving starts.
+    Returns frames served.
     """
+    import select
     import socket
 
     sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
     sock.bind(("0.0.0.0", port))
+    if port_out is not None:
+        port_out.append(sock.getsockname()[1])
     sock.settimeout(0.2)
     engine.warmup()
     try:
@@ -448,23 +485,32 @@ def serve_udp_fleet(
             except ValueError:
                 continue
             deadline = time.monotonic() + batch_window_s
-            sock.setblocking(False)
+            while len(batch) < engine.capacity:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                ready, _, _ = select.select([sock], [], [], remaining)
+                if not ready:
+                    break
+                packet, addr = sock.recvfrom(8192)
+                try:
+                    batch[addr] = wire.unpack_frame(packet)
+                except ValueError:
+                    pass
             try:
-                while (
-                    len(batch) < engine.capacity
-                    and time.monotonic() < deadline
-                ):
-                    try:
-                        packet, addr = sock.recvfrom(8192)
-                    except BlockingIOError:
-                        continue
-                    try:
-                        batch[addr] = wire.unpack_frame(packet)
-                    except ValueError:
-                        pass
-            finally:
-                sock.settimeout(0.2)
-            replies = engine.process_batch(list(batch.items()))
+                replies = engine.process_batch(list(batch.items()))
+            except RuntimeError:
+                # At capacity (stray source address): still serve the
+                # clients that already hold slots this tick.
+                known = [
+                    (a, f) for a, f in batch.items() if a in engine.slots
+                ]
+                if not known:
+                    continue
+                try:
+                    replies = engine.process_batch(known)
+                except RuntimeError:
+                    continue
             for addr, cmd in replies.items():
                 sock.sendto(wire.pack_reply(cmd), addr)
     finally:

@@ -69,11 +69,26 @@ def test_fleet_slot_reclaim_resets_state():
     np.testing.assert_allclose(first_c, first_a, rtol=1e-5, atol=1e-6)
 
 
-def test_fleet_capacity_guard():
-    eng = FleetEngine(CFG, capacity=2, idle_reset_s=60.0)
+def test_fleet_capacity_guard_is_atomic():
+    """A capacity overflow raises BEFORE any mutation: no slot leaks to
+    the rejected client, no existing client's state or slot is touched,
+    and the engine keeps serving normally afterwards."""
+    eng = FleetEngine(CFG, capacity=2, idle_reset_s=3600.0)
+    twin = FleetEngine(CFG, capacity=2, idle_reset_s=3600.0)
     eng.process_batch([("A", _frame(1)), ("B", _frame(2))])
+    twin.process_batch([("A", _frame(1)), ("B", _frame(2))])
+    slots_before = dict(eng.slots)
     with pytest.raises(RuntimeError, match="at capacity"):
-        eng.process_batch([("C", _frame(3))])
+        # Mixed batch: existing A + overflowing C — must serve NEITHER
+        # and mutate NOTHING (all-or-nothing).
+        eng.process_batch([("A", _frame(9)), ("C", _frame(3))])
+    assert eng.slots == slots_before and "C" not in eng.slots
+    # The engine still serves A/B with uncorrupted recurrent state: its
+    # next tick equals the twin's (which never saw the failed batch).
+    got = eng.process_batch([("A", _frame(4)), ("B", _frame(5))])
+    want = twin.process_batch([("A", _frame(4)), ("B", _frame(5))])
+    for k in ("A", "B"):
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-5, atol=1e-6)
 
 
 def test_fleet_udp_loopback():
@@ -83,12 +98,19 @@ def test_fleet_udp_loopback():
     server = FleetEngine(CFG, capacity=4, idle_reset_s=3600.0)
     twin = FleetEngine(CFG, capacity=4, idle_reset_s=3600.0)
     stop = [0]
-    port = 18765
+    port_out: list = []
     th = threading.Thread(
-        target=serve_udp_fleet, args=(server, port, stop), daemon=True
+        target=serve_udp_fleet,
+        args=(server, 0, stop),  # port 0: ephemeral, no collisions
+        kwargs={"port_out": port_out},
+        daemon=True,
     )
     th.start()
-    time.sleep(0.5)  # server warmup (interpret-mode compile)
+    deadline = time.monotonic() + 60.0
+    while not port_out and time.monotonic() < deadline:
+        time.sleep(0.02)
+    assert port_out, "fleet server failed to bind"
+    port = port_out[0]
 
     frames = {name: _frame(i) for i, name in enumerate(("A", "B", "C"))}
     socks = {}
