@@ -228,7 +228,7 @@ def make_batched_serving_step(cfg: ModelConfig, path: str = "auto"):
     return _make_turbo_step(cfg, path, masked=False)
 
 
-def make_fleet_step(cfg: ModelConfig, path: str = "auto"):
+def make_fleet_step(cfg: ModelConfig, path: str = "auto", mesh=None):
     """Fixed-capacity fleet serving step: one batched program serves up
     to `capacity` concurrent drones, each row an independent client with
     its own LSTM-state slot.
@@ -242,11 +242,17 @@ def make_fleet_step(cfg: ModelConfig, path: str = "auto"):
     MASKED BACK to its previous value, so an idle client's memory is
     untouched by the padding frames. Same measured-best turbo routing as
     make_batched_serving_step (one shared builder).
+
+    ``mesh``: a 1-D ``parallel.make_mesh`` device mesh — the fleet's
+    slot axis is sharded over it (capacity must divide the mesh size),
+    each chip serving its local slice of the fleet with zero cross-chip
+    traffic per tick (per-drone serving is embarrassingly parallel DP;
+    params replicate). One UDP front-end then drives a pod slice.
     """
-    return _make_turbo_step(cfg, path, masked=True)
+    return _make_turbo_step(cfg, path, masked=True, mesh=mesh)
 
 
-def _make_turbo_step(cfg: ModelConfig, path: str, masked: bool):
+def _make_turbo_step(cfg: ModelConfig, path: str, masked: bool, mesh=None):
     """Shared builder behind make_batched_serving_step (masked=False)
     and make_fleet_step (masked=True): one copy of the measured-best
     routing policy and the turbo step body; the fleet variant adds the
@@ -256,7 +262,13 @@ def _make_turbo_step(cfg: ModelConfig, path: str, masked: bool):
     if path == "auto":
         path = "turbo" if cfg.H == 1 else "turbo_int8"
     encoder = {"turbo": "pallas", "turbo_int8": "int8"}[path]
-    interp = jax.default_backend() != "tpu"
+    # Interpret-mode keys off where the step will RUN: the mesh's device
+    # platform when sharded (a CPU dry-run mesh can coexist with a TPU
+    # default backend), else the default backend.
+    if mesh is not None:
+        interp = any(d.platform != "tpu" for d in mesh.devices.flat)
+    else:
+        interp = jax.default_backend() != "tpu"
 
     def core(params, int_params, tail, frames_u8, vel, pos_x, quat, state):
         frames = frames_u8.astype(jnp.float32)[:, None, :, :] / 255.0
@@ -282,6 +294,22 @@ def _make_turbo_step(cfg: ModelConfig, path: str, masked: bool):
             jnp.where(m, new_state.c, state.c),
         )
 
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import BATCH_AXIS
+
+        b = P(BATCH_AXIS)
+        state_spec = M.LSTMState(
+            P(None, BATCH_AXIS), P(None, BATCH_AXIS)
+        )
+        step = jax.shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), b, b, b, b, b, state_spec),
+            out_specs=(b, state_spec),
+            check_vma=False,
+        )
     return jax.jit(step, donate_argnums=(8,))
 
 
@@ -322,11 +350,18 @@ class FleetEngine:
         path: str = "auto",
         checkpoint_dir: str | None = None,
         idle_reset_s: float = 2.0,
+        mesh=None,
     ):
         from ..quant.batched import make_tail
 
         if capacity < 1:
             raise ValueError(f"capacity must be >= 1, got {capacity}")
+        if mesh is not None and capacity % mesh.size != 0:
+            raise ValueError(
+                f"capacity {capacity} must divide evenly over the "
+                f"{mesh.size}-device mesh (each chip serves "
+                "capacity/mesh.size slots)"
+            )
         self.cfg = cfg
         self.capacity = capacity
         self.idle_reset_s = idle_reset_s
@@ -336,7 +371,7 @@ class FleetEngine:
         self.tail = make_tail(cfg, params)
         self.params = M.freeze_for_inference(cfg, params)
         self.int_params = int_params
-        self.step = make_fleet_step(cfg, path)
+        self.step = make_fleet_step(cfg, path, mesh=mesh)
         self.state = M.zero_state(cfg, capacity)
         self.slots: dict = {}       # client id -> slot index
         self.last_seen: dict = {}   # client id -> monotonic seconds

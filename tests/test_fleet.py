@@ -145,3 +145,34 @@ def test_fleet_udp_loopback():
         np.testing.assert_allclose(
             replies[name], want[name], rtol=1e-4, atol=1e-5
         )
+
+
+def test_fleet_sharded_over_mesh_matches_single_device():
+    """FleetEngine over an 8-device mesh (capacity sharded, params
+    replicated, zero cross-chip traffic per tick) serves every client
+    identically to the single-device fleet engine."""
+    import jax
+
+    from drone_oa_iree_vit_accelerator_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    mesh = make_mesh(8)
+    eng_mesh = FleetEngine(CFG, capacity=16, idle_reset_s=3600.0, mesh=mesh)
+    eng_one = FleetEngine(CFG, capacity=16, idle_reset_s=3600.0)
+
+    for t in range(2):
+        items = [(f"drone{i}", _frame(1000 + 10 * i + t)) for i in range(5)]
+        got = eng_mesh.process_batch(items)
+        want = eng_one.process_batch(items)
+        for cid in got:
+            # Shard-local batch (16/8=2 rows) changes the f32/bf16 glue
+            # summation shapes vs one batch-16 program; the integer
+            # encoder region is bit-identical, so agreement is at float-
+            # glue tolerance, not exact.
+            np.testing.assert_allclose(
+                got[cid], want[cid], rtol=5e-4, atol=5e-5
+            )
+
+    with pytest.raises(ValueError, match="divide evenly"):
+        FleetEngine(CFG, capacity=12, mesh=mesh)
