@@ -178,11 +178,21 @@ def _parse_trace(trace_dir: str) -> DeviceTiming:
 
 def measure_device_time(run_fn, trace_dir: str | None = None) -> DeviceTiming:
     """Trace ``run_fn()`` (which should launch + block on jitted work) and
-    return the aggregated device-lane timing of every jit_* execution."""
+    return the aggregated device-lane timing of every jit_* execution.
+
+    A self-created tempdir is deleted after parsing (benchmark sweeps
+    make dozens of traces; leaking them fills /tmp). Pass ``trace_dir``
+    to keep the trace (e.g. for TensorBoard)."""
     tmp = trace_dir or tempfile.mkdtemp(prefix="doa_trace_")
-    with jax.profiler.trace(tmp):
-        run_fn()
-    return _parse_trace(tmp)
+    try:
+        with jax.profiler.trace(tmp):
+            run_fn()
+        return _parse_trace(tmp)
+    finally:
+        if trace_dir is None:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
 
 
 def device_time_per_call(

@@ -1,0 +1,150 @@
+"""Measured serving story for EVERY model-zoo config (docs/zoo_bench.json).
+
+bench.py (the driver benchmark) covers the flagship + the ITA base
+shape; this script completes the zoo — all four reference architecture
+variants (reference models/ITA*/model.py; SURVEY.md section 2.1) get a
+measured batch-1 latency (f32 + pallas serving paths) and a batched
+throughput row (the measured-best turbo routing via
+make_batched_serving_step's policy), all true device times from
+jax.profiler traces.
+
+Run on the TPU: python scripts/zoo_bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from drone_oa_iree_vit_accelerator_tpu.core import MODEL_ZOO  # noqa: E402
+from drone_oa_iree_vit_accelerator_tpu.models import vit_lstm as M  # noqa: E402
+from drone_oa_iree_vit_accelerator_tpu import quant as QZ  # noqa: E402
+from drone_oa_iree_vit_accelerator_tpu.quant.batched import (  # noqa: E402
+    make_tail,
+    turbo_forward,
+)
+from drone_oa_iree_vit_accelerator_tpu.utils.device_timing import (  # noqa: E402
+    device_time_per_call,
+)
+
+
+def bench_config(name: str, cfg) -> dict:
+    key = jax.random.PRNGKey(0)
+    params = M.init_params(cfg, key)
+    frames_cal = jax.random.randint(key, (8, 1, 60, 90), 0, 256, jnp.uint8)
+    int_params, _ = QZ.calibrate_ptq(cfg, params, frames_cal)
+    tail = make_tail(cfg, params)
+    params = M.freeze_for_inference(cfg, params)
+    f32 = jnp.float32
+    out = {"dims": f"L={cfg.num_layers} E={cfg.E} S={cfg.S} P={cfg.P} "
+                   f"F={cfg.F} H={cfg.H} fusion={cfg.fusion.name}"}
+
+    def b1_step(kind):
+        if kind == "pallas":
+            fwd = lambda p, ip, f, v, q, s: QZ.pallas_forward(
+                cfg, p, ip, f, v, q, s
+            )
+        else:
+            fwd = lambda p, ip, f, v, q, s: M.forward(
+                cfg, p, f, v, q, s, encoder_layout="nhwc"
+            )
+
+        @jax.jit
+        def step(p, ip, frame_u8, vel, quat, s):
+            return fwd(p, ip, frame_u8.astype(f32) / 255.0, vel, quat, s)
+
+        return step
+
+    for kind, ncalls in (("f32", 40), ("pallas", 40)):
+        if kind == "pallas" and cfg.H != 1:
+            out[f"{kind}_b1"] = "n/a (H>1: kernel is H=1-only, golden path serves)"
+            continue
+        step = b1_step(kind)
+
+        def args():
+            vel = jnp.ones((1, 1), f32)
+            quat = jnp.asarray([[1.0, 0, 0, 0]], f32)
+            frames = [
+                jax.random.randint(jax.random.PRNGKey(10 + i), (1, 1, 60, 90),
+                                   0, 256, jnp.uint8)
+                for i in range(ncalls + 1)
+            ]
+            jax.block_until_ready(frames)
+            st = M.zero_state(cfg, 1)
+            return (
+                [(params, int_params, frames[i + 1], vel, quat, st)
+                 for i in range(ncalls)],
+            ), {"warmup_args": (params, int_params, frames[0], vel, quat, st)}
+
+        a, kw = args()
+        t = device_time_per_call(step, a[0], **kw)
+        if t.n_executions < ncalls:
+            a, kw = args()
+            t = device_time_per_call(step, a[0], settle_s=3.0, **kw)
+        us = t.per_call_ms * 1e3
+        out[f"{kind}_b1"] = {"device_us": round(us, 2),
+                             "fps": round(1e6 / us, 0)}
+
+    # Batched throughput at b1024 with the measured-best routing
+    # (turbo/pallas for H==1 configs, turbo_int8 golden encoder for H>1
+    # — the same policy as make_batched_serving_step).
+    encoder = "pallas" if cfg.H == 1 else "int8"
+    b, ncalls = 1024, 10
+
+    @jax.jit
+    def tstep(p, ip, frame_u8, vel, quat, s):
+        return turbo_forward(
+            cfg, p, ip, tail, frame_u8.astype(f32) / 255.0, vel, quat, s,
+            encoder=encoder,
+        )
+
+    def targs():
+        vel = jnp.ones((b, 1), f32)
+        quat = jnp.tile(jnp.asarray([[1.0, 0, 0, 0]], f32), (b, 1))
+        frames = [
+            jax.random.randint(jax.random.PRNGKey(50 + i), (b, 1, 60, 90),
+                               0, 256, jnp.uint8)
+            for i in range(ncalls + 1)
+        ]
+        jax.block_until_ready(frames)
+        st = M.zero_state(cfg, b)
+        return (
+            [(params, int_params, frames[i + 1], vel, quat, st)
+             for i in range(ncalls)],
+            (params, int_params, frames[0], vel, quat, st),
+        )
+
+    a, warm = targs()
+    t = device_time_per_call(tstep, a, warmup_args=warm)
+    if t.n_executions < ncalls:
+        a, warm = targs()
+        t = device_time_per_call(tstep, a, warmup_args=warm, settle_s=3.0)
+    ms = t.per_call_ms
+    out["turbo_b1024"] = {
+        "encoder": encoder,
+        "device_ms": round(ms, 4),
+        "fps": round(b / ms * 1e3, 0),
+    }
+    return out
+
+
+def main() -> None:
+    report = {"device": jax.devices()[0].device_kind,
+              "timing_source": "jax.profiler device traces"}
+    for name, cfg in MODEL_ZOO.items():
+        print(f"benching {name} ...", flush=True)
+        report[name] = bench_config(name, cfg)
+    out_path = pathlib.Path(__file__).resolve().parents[1] / "docs" / \
+        "zoo_bench.json"
+    out_path.write_text(json.dumps(report, indent=1))
+    print(json.dumps(report, indent=1))
+
+
+if __name__ == "__main__":
+    main()
