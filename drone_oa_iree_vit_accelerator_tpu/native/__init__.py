@@ -29,6 +29,16 @@ FRAME_CB = ctypes.CFUNCTYPE(
     ctypes.c_void_p,                 # user
 )
 
+BATCH_CB = ctypes.CFUNCTYPE(
+    ctypes.c_int,
+    ctypes.POINTER(ctypes.c_uint8),   # packets (n * 5424)
+    ctypes.POINTER(ctypes.c_uint64),  # peer keys (n)
+    ctypes.c_int,                     # n
+    ctypes.POINTER(ctypes.c_uint8),   # replies out (n * 12)
+    ctypes.POINTER(ctypes.c_uint8),   # send_ok out (n flags)
+    ctypes.c_void_p,                  # user
+)
+
 _lib = None
 
 
@@ -66,6 +76,15 @@ def load() -> ctypes.CDLL:
         lib.doa_udp_serve.argtypes = [
             ctypes.c_uint16, FRAME_CB, ctypes.c_void_p,
             ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.doa_udp_serve_fleet.restype = ctypes.c_long
+        lib.doa_udp_serve_fleet.argtypes = [
+            ctypes.c_uint16,                 # port (0 = ephemeral)
+            ctypes.c_int,                    # capacity
+            ctypes.c_int,                    # window_us
+            BATCH_CB, ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int),    # stop flag
+            ctypes.POINTER(ctypes.c_int),    # bound port out
         ]
         _lib = lib
     return _lib

@@ -553,6 +553,89 @@ def serve_udp_fleet(
     return engine.frames
 
 
+def serve_udp_fleet_native(
+    engine: FleetEngine,
+    port: int = 10001,
+    stop_flag=None,
+    batch_window_s: float = 0.002,
+    port_out: list | None = None,
+) -> int:
+    """Native (C++) fleet UDP loop: the socket loop, per-tick batching
+    (drain window, per-peer last-frame dedupe, short-packet drops) and
+    reply fan-out run in native code (native/codec.cpp
+    doa_udp_serve_fleet) — the fleet counterpart of serve_udp's native
+    shell, mirroring the reference's C++ server around the model step
+    (reference main.cpp). Python is entered once per TICK (not per
+    packet) with the whole batch.
+
+    Same semantics as serve_udp_fleet: clients keyed by source address,
+    capacity-overflow ticks degrade to the known-client subset, wire
+    format per client byte-identical to the single-drone server.
+    ``stop_flag`` is a ctypes c_int (like serve_udp). ``port=0`` binds an
+    ephemeral port, reported via ``port_out``.
+    """
+    from .. import native
+
+    lib = native.load()
+    engine.warmup()
+    if stop_flag is None:
+        stop_flag = ctypes.c_int(0)
+    req = native.REQUEST_SIZE
+
+    @native.BATCH_CB
+    def cb(packets_ptr, peers_ptr, n, replies_ptr, send_ok_ptr, _user):
+        try:
+            raw = ctypes.string_at(packets_ptr, n * req)
+            items = []
+            for i in range(n):
+                frame = wire.unpack_frame(raw[i * req : (i + 1) * req])
+                items.append((int(peers_ptr[i]), frame))
+            try:
+                replies = engine.process_batch(items)
+            except RuntimeError:
+                known = [
+                    (cid, f) for cid, f in items if cid in engine.slots
+                ]
+                if not known:
+                    return 1
+                replies = engine.process_batch(known)
+            for i in range(n):
+                cmd = replies.get(int(peers_ptr[i]))
+                if cmd is None:
+                    continue
+                reply = wire.pack_reply(cmd)
+                ctypes.memmove(
+                    ctypes.byref(replies_ptr.contents, i * native.REPLY_SIZE),
+                    reply, native.REPLY_SIZE,
+                )
+                send_ok_ptr[i] = 1
+            return 0
+        except Exception:
+            return 1  # drop the tick, keep serving
+
+    bound = ctypes.c_int(0)
+    window_us = max(int(batch_window_s * 1e6), 0)
+    # The C loop reports the bound port only once it runs; surface it
+    # through port_out before blocking by binding... the native call
+    # blocks, so expose it via a pre-flight: the C side writes *bound
+    # before the first recv, and callers polling port_out need it after
+    # the thread starts — poll the ctypes int.
+    import threading
+
+    if port_out is not None:
+        def _watch():
+            while bound.value == 0 and not stop_flag.value:
+                time.sleep(0.005)
+            if bound.value:
+                port_out.append(bound.value)
+
+        threading.Thread(target=_watch, daemon=True).start()
+    return lib.doa_udp_serve_fleet(
+        port, engine.capacity, window_us, cb, None,
+        ctypes.byref(stop_flag), ctypes.byref(bound),
+    )
+
+
 class ServingEngine:
     """Stateful frame server: holds params and the device-resident LSTM
     state across frames (reset per trajectory like the reference's

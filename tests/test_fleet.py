@@ -176,3 +176,62 @@ def test_fleet_sharded_over_mesh_matches_single_device():
 
     with pytest.raises(ValueError, match="divide evenly"):
         FleetEngine(CFG, capacity=12, mesh=mesh)
+
+
+def test_fleet_udp_loopback_native():
+    """Same three-client loopback through the NATIVE C++ fleet loop
+    (native/codec.cpp doa_udp_serve_fleet): per-tick batching, peer
+    keying and reply fan-out in native code, Python entered once per
+    tick."""
+    import ctypes
+
+    from drone_oa_iree_vit_accelerator_tpu.pipeline.serve import (
+        serve_udp_fleet_native,
+    )
+
+    server = FleetEngine(CFG, capacity=4, idle_reset_s=3600.0)
+    twin = FleetEngine(CFG, capacity=4, idle_reset_s=3600.0)
+    stop = ctypes.c_int(0)
+    port_out: list = []
+    th = threading.Thread(
+        target=serve_udp_fleet_native,
+        args=(server, 0, stop),
+        kwargs={"port_out": port_out},
+        daemon=True,
+    )
+    th.start()
+    deadline = time.monotonic() + 120.0
+    while not port_out and time.monotonic() < deadline:
+        time.sleep(0.02)
+    assert port_out, "native fleet server failed to bind"
+    port = port_out[0]
+
+    frames = {name: _frame(40 + i) for i, name in enumerate(("A", "B", "C"))}
+    socks, replies = {}, {}
+    try:
+        for name, fr in frames.items():
+            s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            s.settimeout(120.0)
+            s.sendto(
+                wire.pack_frame(
+                    fr.image, fr.desired_velocity, fr.position_x,
+                    fr.quaternion,
+                ),
+                ("127.0.0.1", port),
+            )
+            socks[name] = s
+        for name, s in socks.items():
+            data, _ = s.recvfrom(64)
+            assert len(data) == wire.REPLY_SIZE
+            replies[name] = wire.unpack_reply(data)
+    finally:
+        stop.value = 1
+        for s in socks.values():
+            s.close()
+        th.join(timeout=10.0)
+
+    want = twin.process_batch(list(frames.items()))
+    for name in frames:
+        np.testing.assert_allclose(
+            replies[name], want[name], rtol=1e-4, atol=1e-5
+        )
