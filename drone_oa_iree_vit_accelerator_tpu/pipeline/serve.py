@@ -624,7 +624,11 @@ def serve_udp_fleet_native(
 
     if port_out is not None:
         def _watch():
-            while bound.value == 0 and not stop_flag.value:
+            # Bounded: if the native loop exits early (bind error), stop
+            # polling instead of spinning for the process lifetime.
+            deadline = time.monotonic() + 600.0
+            while (bound.value == 0 and not stop_flag.value
+                   and time.monotonic() < deadline):
                 time.sleep(0.005)
             if bound.value:
                 port_out.append(bound.value)
