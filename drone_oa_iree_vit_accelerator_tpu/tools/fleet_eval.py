@@ -1,0 +1,163 @@
+"""Closed-loop evaluation over the UDP fleet server.
+
+This reproduces the reference's ACTUAL system topology — the simulator
+and the inference server are separate processes joined by the UDP wire
+(reference launch_evaluation_FPGA.bash -> run_competition UDP client ->
+device serve loop; SURVEY.md sections 3.4/3.6) — at fleet scale: N
+drones fly N different worlds simultaneously through ONE fleet server
+(pipeline/serve.FleetEngine), each tick one wire round-trip per drone
+and one batched device program on the server.
+
+The host side mirrors sim/rollout.rollout_batch's tick semantics
+exactly (render -> command -> first-order dynamics -> freeze-finished ->
+collision/goal bookkeeping), so the UDP closed loop is directly
+comparable to the in-jit evaluation: same worlds, same outcome
+definitions — the difference under test is the transport + the fleet
+server's slot/batching machinery.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import socket
+import threading
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..pipeline import wire
+from ..pipeline.serve import (
+    FleetEngine,
+    serve_udp_fleet,
+    serve_udp_fleet_native,
+)
+from ..sim.world import DroneState, World, WorldConfig
+
+
+def fleet_closed_loop_eval(
+    engine: FleetEngine,
+    worlds: World,          # stacked (N, ...) — one world per drone
+    *,
+    wcfg: WorldConfig = WorldConfig(),
+    steps: int = 1000,
+    desired_vel: float = 5.0,
+    native: bool = True,
+    reply_timeout_s: float = 300.0,
+) -> dict:
+    """Fly N drones closed-loop through the fleet UDP server.
+
+    Returns {"success", "collided", "time_to_goal", "final_x"} numpy
+    arrays (N,), with the same outcome definitions as
+    sim/rollout.rollout_batch. The server thread is started (ephemeral
+    port) and stopped inside this call.
+    """
+    n = int(worlds.radii.shape[0])
+    if n > engine.capacity:
+        raise ValueError(f"{n} drones > fleet capacity {engine.capacity}")
+
+    # --- host-side sim step (jitted once; mirrors rollout_batch.tick) ---
+    wtup = (
+        (worlds.centers, worlds.radii)
+        if worlds.kinds is None
+        else (worlds.centers, worlds.radii, worlds.kinds)
+    )
+
+    @jax.jit
+    def render(wt, pos):
+        from ..sim.world import render_depth
+
+        return jax.vmap(lambda w, p: render_depth(World(*w), p, wcfg))(
+            wt, pos
+        )
+
+    @jax.jit
+    def advance(pos, vel, cmd, active):
+        from ..sim.world import check_collision, step_dynamics
+
+        cmd = jnp.where(active[:, None], cmd, 0.0)
+        new = jax.vmap(lambda s, c: step_dynamics(s, c, wcfg))(
+            DroneState(pos, vel), cmd
+        )
+        pos2 = jnp.where(active[:, None], new.pos, pos)
+        vel2 = jnp.where(active[:, None], new.vel, vel)
+        hit = jax.vmap(lambda w, p: check_collision(World(*w), p, wcfg))(
+            wtup, pos2
+        )
+        return pos2, vel2, hit
+
+    # --- fleet server thread (ephemeral port) ---
+    serve = serve_udp_fleet_native if native else serve_udp_fleet
+    stop = ctypes.c_int(0) if native else [0]
+    port_out: list = []
+    th = threading.Thread(
+        target=serve, args=(engine, 0, stop), kwargs={"port_out": port_out},
+        daemon=True,
+    )
+    th.start()
+    deadline = time.monotonic() + reply_timeout_s
+    while not port_out and time.monotonic() < deadline:
+        time.sleep(0.02)
+    if not port_out:
+        raise RuntimeError("fleet server failed to bind")
+    port = port_out[0]
+
+    socks = []
+    for _ in range(n):
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        s.settimeout(reply_timeout_s)
+        socks.append(s)
+
+    pos = np.tile(np.asarray([0.0, 0.0, wcfg.spawn_z], np.float32), (n, 1))
+    vel = np.zeros((n, 3), np.float32)
+    collided = np.zeros((n,), bool)
+    done = np.zeros((n,), bool)
+    t_goal = np.full((n,), np.inf, np.float32)
+    quat = np.asarray([1.0, 0, 0, 0], np.float32)
+
+    try:
+        for t in range(steps):
+            if done.all():
+                break
+            imgs = np.asarray(render(wtup, jnp.asarray(pos)))
+            cmds = np.zeros((n, 3), np.float32)
+            active_idx = [i for i in range(n) if not done[i]]
+            for i in active_idx:
+                socks[i].sendto(
+                    wire.pack_frame(
+                        imgs[i], desired_vel, float(pos[i, 0]), quat
+                    ),
+                    ("127.0.0.1", port),
+                )
+            for i in active_idx:
+                data, _ = socks[i].recvfrom(64)
+                cmds[i] = wire.unpack_reply(data)
+            active = ~done
+            pos_j, vel_j, hit_j = advance(
+                jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(cmds),
+                jnp.asarray(active),
+            )
+            pos = np.asarray(pos_j)
+            vel = np.asarray(vel_j)
+            hit = np.asarray(hit_j)
+            collided |= hit & active
+            reached = pos[:, 0] >= wcfg.goal_x
+            newly = active & reached & ~collided & np.isinf(t_goal)
+            t_goal[newly] = (t + 1) * wcfg.dt
+            done |= collided | reached
+    finally:
+        if native:
+            stop.value = 1
+        else:
+            stop[0] = 1
+        for s in socks:
+            s.close()
+        th.join(timeout=10.0)
+
+    return {
+        "success": np.isfinite(t_goal) & ~collided,
+        "collided": collided,
+        "time_to_goal": t_goal,
+        "final_x": pos[:, 0].copy(),
+    }
