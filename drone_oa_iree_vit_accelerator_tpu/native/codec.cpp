@@ -187,6 +187,7 @@ long doa_udp_serve_fleet(uint16_t port, int capacity, int window_us,
   uint8_t* send_ok = new uint8_t[capacity];
   uint8_t buf[kRequestSize + 64];
   long frames = 0;
+  long err = 0;
 
   while (!(stop_flag && *stop_flag)) {
     set_timeout_us(100 * 1000);
@@ -196,6 +197,7 @@ long doa_udp_serve_fleet(uint16_t port, int capacity, int window_us,
                          reinterpret_cast<sockaddr*>(&peer), &peer_len);
     if (m < 0) {
       if (errno == EAGAIN || errno == EWOULDBLOCK || errno == EINTR) continue;
+      err = -errno;  // hard socket error: report it (contract: -errno)
       break;
     }
     int n = 0;
@@ -235,10 +237,12 @@ long doa_udp_serve_fleet(uint16_t port, int capacity, int window_us,
                    reinterpret_cast<sockaddr*>(&peer), &peer_len);
       if (m < 0) {
         if (errno == EINTR) continue;
-        break;  // window expired (EAGAIN) or hard error
+        if (errno != EAGAIN && errno != EWOULDBLOCK) err = -errno;
+        break;  // window expired (EAGAIN) or hard error (recorded)
       }
       add(buf, m, peer);
     }
+    if (err) break;
     if (n == 0) continue;
     std::memset(send_ok, 0, capacity);
     if (cb(packets, peer_keys, n, replies, send_ok, user) == 0) {
@@ -257,7 +261,7 @@ long doa_udp_serve_fleet(uint16_t port, int capacity, int window_us,
   delete[] replies;
   delete[] send_ok;
   close(fd);
-  return frames;
+  return err ? err : frames;
 }
 
 }  // extern "C"

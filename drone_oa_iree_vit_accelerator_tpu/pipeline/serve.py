@@ -244,8 +244,8 @@ def make_fleet_step(cfg: ModelConfig, path: str = "auto", mesh=None):
     make_batched_serving_step (one shared builder).
 
     ``mesh``: a 1-D ``parallel.make_mesh`` device mesh — the fleet's
-    slot axis is sharded over it (capacity must divide the mesh size),
-    each chip serving its local slice of the fleet with zero cross-chip
+    slot axis is sharded over it (the mesh size must divide capacity:
+    each chip serves capacity/mesh.size slots) with zero cross-chip
     traffic per tick (per-drone serving is embarrassingly parallel DP;
     params replicate). One UDP front-end then drives a pod slice.
     """
@@ -615,11 +615,11 @@ def serve_udp_fleet_native(
 
     bound = ctypes.c_int(0)
     window_us = max(int(batch_window_s * 1e6), 0)
-    # The C loop reports the bound port only once it runs; surface it
-    # through port_out before blocking by binding... the native call
-    # blocks, so expose it via a pre-flight: the C side writes *bound
-    # before the first recv, and callers polling port_out need it after
-    # the thread starts — poll the ctypes int.
+    # The blocking native call writes the bound port into ``bound`` right
+    # after bind(). A small watcher thread polls that int and publishes it
+    # to ``port_out`` so callers can learn the ephemeral port while this
+    # function is still blocked in the C loop. The watcher deadline stops
+    # the poll if the native loop exits early (e.g. bind error).
     import threading
 
     if port_out is not None:

@@ -98,6 +98,11 @@ def fleet_closed_loop_eval(
     th.start()
     deadline = time.monotonic() + reply_timeout_s
     while not port_out and time.monotonic() < deadline:
+        if not th.is_alive():
+            # Fail fast: the native loop returns -errno immediately on a
+            # bind failure; don't poll out the whole timeout.
+            raise RuntimeError("fleet server exited before binding "
+                               "(bind error?)")
         time.sleep(0.02)
     if not port_out:
         raise RuntimeError("fleet server failed to bind")
@@ -106,8 +111,29 @@ def fleet_closed_loop_eval(
     socks = []
     for _ in range(n):
         s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-        s.settimeout(reply_timeout_s)
         socks.append(s)
+
+    def recv_with_retry(i, payload, timeout_s):
+        """Receive drone i's reply; on timeout, RESEND its request
+        (bounded). The server drops a whole tick on any serving error
+        (packets consumed, no replies), which would deadlock a
+        no-retransmission lockstep loop. A resend can at worst
+        double-step that drone's server-side LSTM slot in the rare case
+        the REPLY (not the request) was lost — acceptable for an eval,
+        fatal to hang without."""
+        attempts = 4
+        per_try = max(timeout_s / attempts, 1.0)
+        for k in range(attempts):
+            socks[i].settimeout(per_try)
+            try:
+                data, _ = socks[i].recvfrom(64)
+                return data
+            except socket.timeout:
+                if k + 1 < attempts:
+                    socks[i].sendto(payload, ("127.0.0.1", port))
+        raise TimeoutError(
+            f"drone {i}: no reply after {attempts} attempts x {per_try:.0f}s"
+        )
 
     pos = np.tile(np.asarray([0.0, 0.0, wcfg.spawn_z], np.float32), (n, 1))
     vel = np.zeros((n, 3), np.float32)
@@ -120,18 +146,26 @@ def fleet_closed_loop_eval(
         for t in range(steps):
             if done.all():
                 break
+            # Render the full (static-shape) batch every tick: slicing to
+            # active rows would re-specialize the jit per active count,
+            # which costs far more than the wasted rays on this platform.
             imgs = np.asarray(render(wtup, jnp.asarray(pos)))
             cmds = np.zeros((n, 3), np.float32)
             active_idx = [i for i in range(n) if not done[i]]
-            for i in active_idx:
-                socks[i].sendto(
-                    wire.pack_frame(
-                        imgs[i], desired_vel, float(pos[i, 0]), quat
-                    ),
-                    ("127.0.0.1", port),
+            payloads = {
+                i: wire.pack_frame(
+                    imgs[i], desired_vel, float(pos[i, 0]), quat
                 )
+                for i in active_idx
+            }
             for i in active_idx:
-                data, _ = socks[i].recvfrom(64)
+                socks[i].sendto(payloads[i], ("127.0.0.1", port))
+            # First tick absorbs the server's compile; keep it generous.
+            tick_timeout = reply_timeout_s if t == 0 else min(
+                reply_timeout_s, 20.0
+            )
+            for i in active_idx:
+                data = recv_with_retry(i, payloads[i], tick_timeout)
                 cmds[i] = wire.unpack_reply(data)
             active = ~done
             pos_j, vel_j, hit_j = advance(

@@ -28,11 +28,6 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 from drone_oa_iree_vit_accelerator_tpu.core import (  # noqa: E402
     ITA_SINGLE_LAYER_UPSAMPLE_SHUFFLE as CFG,
 )
-from drone_oa_iree_vit_accelerator_tpu.models import (  # noqa: E402
-    params_io,
-    vit_lstm as M,
-)
-from drone_oa_iree_vit_accelerator_tpu import quant as QZ  # noqa: E402
 from drone_oa_iree_vit_accelerator_tpu.pipeline.serve import (  # noqa: E402
     FleetEngine,
 )
@@ -57,15 +52,13 @@ def main() -> None:
     args = ap.parse_args()
 
     repo = pathlib.Path(__file__).resolve().parents[1]
-    ckpt = repo / "checkpoints"
-    params = M.init_params(CFG, jax.random.PRNGKey(0))
-    params = params_io.load_params(str(ckpt / "model_float.npz"), params)
-    frames_cal = jax.random.randint(
-        jax.random.PRNGKey(1), (8, 1, 60, 90), 0, 256, jax.numpy.uint8
+    # Same checkpoint/int8 resolution as the serving engines (one copy).
+    from drone_oa_iree_vit_accelerator_tpu.pipeline.serve import (
+        _resolve_params,
     )
-    int_params, _ = QZ.calibrate_ptq(CFG, params, frames_cal)
-    int_params = params_io.load_params(
-        str(ckpt / "model_int8.npz"), int_params
+
+    params, int_params = _resolve_params(
+        CFG, None, None, str(repo / "checkpoints")
     )
 
     wcfg = WorldConfig()
