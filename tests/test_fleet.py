@@ -235,3 +235,60 @@ def test_fleet_udp_loopback_native():
         np.testing.assert_allclose(
             replies[name], want[name], rtol=1e-4, atol=1e-5
         )
+
+
+def test_fleet_udp_overflow_degrades_to_known_clients():
+    """A stranger hitting a full fleet must not break service: known
+    clients keep getting replies, the stranger gets none (the serve loop
+    retries the tick with the known-client subset)."""
+    server = FleetEngine(CFG, capacity=2, idle_reset_s=3600.0)
+    stop = [0]
+    port_out: list = []
+    th = threading.Thread(
+        target=serve_udp_fleet,
+        args=(server, 0, stop),
+        kwargs={"port_out": port_out},
+        daemon=True,
+    )
+    th.start()
+    deadline = time.monotonic() + 60.0
+    while not port_out and time.monotonic() < deadline:
+        time.sleep(0.02)
+    assert port_out
+    port = port_out[0]
+
+    def send(sock, fr):
+        sock.sendto(
+            wire.pack_frame(
+                fr.image, fr.desired_velocity, fr.position_x, fr.quaternion
+            ),
+            ("127.0.0.1", port),
+        )
+
+    sa = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sb = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sc = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sa.settimeout(120.0)
+    sb.settimeout(120.0)
+    sc.settimeout(3.0)  # the stranger: expect NO reply
+    try:
+        # Establish A and B (fills capacity).
+        send(sa, _frame(70))
+        sa.recvfrom(64)
+        send(sb, _frame(71))
+        sb.recvfrom(64)
+        # Now everyone fires, including the stranger C.
+        send(sa, _frame(72))
+        send(sb, _frame(73))
+        send(sc, _frame(74))
+        data_a, _ = sa.recvfrom(64)
+        data_b, _ = sb.recvfrom(64)
+        assert len(data_a) == wire.REPLY_SIZE
+        assert len(data_b) == wire.REPLY_SIZE
+        with pytest.raises(socket.timeout):
+            sc.recvfrom(64)
+    finally:
+        stop[0] = 1
+        for s in (sa, sb, sc):
+            s.close()
+        th.join(timeout=5.0)
