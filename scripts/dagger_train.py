@@ -137,6 +137,34 @@ def data_stats(trajs) -> dict:
     }
 
 
+def _traj_near_frac(t) -> float:
+    """Fraction of a trajectory's frames with a <3 m obstacle (same
+    inverse-depth threshold as data_stats)."""
+    thresh = (1.0 - 3.0 / WCFG.max_depth) * 255.0
+    d_max = t.frames.reshape(t.frames.shape[0], -1).max(axis=1)
+    return float((d_max > thresh).mean())
+
+
+def near_weighted(trajectories) -> list:
+    """Proximity-weighted aggregate: counter the measured collapse
+    mechanism (on-policy rounds are cruise-dominated — near-obstacle
+    frame fraction drops 0.23 -> 0.04-0.11 across rounds, policy_report
+    dagger_history) by repeating avoidance-rich trajectories so the
+    training distribution keeps its obstacle-interaction density.
+
+    Deterministic rule: a trajectory repeats 2x when its near-obstacle
+    fraction exceeds the aggregate mean, 3x when it exceeds twice the
+    mean (everything stays in the set — this reweights, not filters).
+    """
+    fracs = [_traj_near_frac(t) for t in trajectories]
+    mean = max(float(np.mean(fracs)), 1e-6)
+    out = []
+    for t, f in zip(trajectories, fracs):
+        reps = 1 + (f > mean) + (f > 2 * mean)
+        out.extend([t] * reps)
+    return out
+
+
 def save_trajs(path: pathlib.Path, trajs) -> None:
     np.savez_compressed(
         path,
@@ -175,6 +203,12 @@ def main() -> None:
     ap.add_argument("--fast", action="store_true")
     ap.add_argument("--tpu", action="store_true",
                     help="run on the TPU (default: force CPU backend)")
+    ap.add_argument("--weighted-aggregate", action="store_true",
+                    help="proximity-weighted DAgger aggregation: repeat "
+                    "near-obstacle-rich trajectories in rounds k>=1 so "
+                    "the training distribution keeps its avoidance "
+                    "density (counter to the measured cruise-domination "
+                    "collapse mechanism)")
     ap.add_argument("--skip-heldout", action="store_true",
                     help="stop after deploy selection (debug only: "
                     "scripts/dagger_aggregate.py requires every seed's "
@@ -302,8 +336,11 @@ def main() -> None:
             epoch_hist = meta["epochs"]
             log(f"loaded round-{k} params")
         else:
+            train_set = near_weighted(trajs) if args.weighted_aggregate \
+                else trajs
             rb, epoch_hist = train_round(
-                k, trajs, args.epochs_k, 1e-4, 1, init_params=best["params"]
+                k, train_set, args.epochs_k, 1e-4, 1,
+                init_params=best["params"],
             )
             params_io.save_params(str(pk_path), rb["params"])
             json.dump({"success": rb["success"], "epoch": rb["epoch"],
@@ -311,12 +348,15 @@ def main() -> None:
 
         log(f"round {k} val closed-loop (best epoch {rb['epoch']}): "
             f"{rb['success']:.3f} ({len(trajs)} trajs)")
-        history.append({
+        entry = {
             "round": k, "n_trajs": len(trajs),
             "val_success": rb["success"], "best_epoch": rb["epoch"],
             "epoch_val_history": epoch_hist,
             "new_data": data_stats(new),
-        })
+        }
+        if args.weighted_aggregate:
+            entry["weighted_train_set"] = data_stats(train_set)
+        history.append(entry)
         if rb["success"] >= best["val_success"]:
             best.update(val_success=rb["success"], round=k,
                         epoch=rb["epoch"], params=rb["params"])
@@ -380,7 +420,9 @@ def main() -> None:
     report = {
         "seed": S,
         "method": "DAgger behavior cloning (on-policy expert relabeling), "
-                  "per-epoch closed-loop selection",
+                  "per-epoch closed-loop selection"
+                  + (", proximity-weighted aggregation"
+                     if args.weighted_aggregate else ""),
         "dagger_history": history,
         "selected_round": best["round"],
         "selected_epoch": best["epoch"],
