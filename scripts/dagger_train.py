@@ -203,6 +203,15 @@ def main() -> None:
     ap.add_argument("--fast", action="store_true")
     ap.add_argument("--tpu", action="store_true",
                     help="run on the TPU (default: force CPU backend)")
+    ap.add_argument("--beta0", type=float, default=0.0,
+                    help="DAgger beta-mixing: per-segment probability of "
+                    "executing the EXPERT action during round-k "
+                    "collection, decayed as beta0 * 0.5**(k-1). Keeps "
+                    "collection near the expert distribution for "
+                    "knife-edge policies whose pure on-policy rollouts "
+                    "drift off-corridor and relabel into extreme "
+                    "corrections (the seeds-1/2 collapse mode). 0 = "
+                    "classic pure on-policy collection (default).")
     ap.add_argument("--weighted-aggregate", action="store_true",
                     help="proximity-weighted DAgger aggregation: repeat "
                     "near-obstacle-rich trajectories in rounds k>=1 so "
@@ -319,9 +328,11 @@ def main() -> None:
             log(f"loaded round-{k} dagger data ({len(new)} trajs)")
         else:
             log(f"round {k}: collecting {args.dagger_trajs} on-policy trajs...")
+            beta_k = args.beta0 * (0.5 ** (k - 1))
             new = DG.collect_policy_trajectories(
                 CFG, best["params"], args.dagger_trajs, wcfg=WCFG,
                 steps=steps, seed=world_seed0 + k,
+                expert_mix=beta_k,
             )
             save_trajs(dk_path, new)
             log(f"round {k}: collected {len(new)} usable trajs")
@@ -350,6 +361,7 @@ def main() -> None:
             f"{rb['success']:.3f} ({len(trajs)} trajs)")
         entry = {
             "round": k, "n_trajs": len(trajs),
+            "beta_mix": round(args.beta0 * (0.5 ** (k - 1)), 4),
             "val_success": rb["success"], "best_epoch": rb["epoch"],
             "epoch_val_history": epoch_hist,
             "new_data": data_stats(new),
@@ -422,7 +434,9 @@ def main() -> None:
         "method": "DAgger behavior cloning (on-policy expert relabeling), "
                   "per-epoch closed-loop selection"
                   + (", proximity-weighted aggregation"
-                     if args.weighted_aggregate else ""),
+                     if args.weighted_aggregate else "")
+                  + (f", beta-mixed collection (beta0={args.beta0})"
+                     if args.beta0 > 0 else ""),
         "dagger_history": history,
         "selected_round": best["round"],
         "selected_epoch": best["epoch"],
