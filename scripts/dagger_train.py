@@ -212,6 +212,14 @@ def main() -> None:
                     "drift off-corridor and relabel into extreme "
                     "corrections (the seeds-1/2 collapse mode). 0 = "
                     "classic pure on-policy collection (default).")
+    ap.add_argument("--retrain-scratch", action="store_true",
+                    help="classic DAgger (Ross et al. 2011): rounds k>=1 "
+                    "retrain from a FRESH init on the full aggregate with "
+                    "the round-0 recipe (lr 3e-4, warmup 3, epochs0 "
+                    "epochs) instead of fine-tuning the incumbent at lr "
+                    "1e-4. Probe for the seeds-1/2 collapse, which the "
+                    "beta-mix probe showed is a fine-tuning instability, "
+                    "not collection drift.")
     ap.add_argument("--weighted-aggregate", action="store_true",
                     help="proximity-weighted DAgger aggregation: repeat "
                     "near-obstacle-rich trajectories in rounds k>=1 so "
@@ -349,10 +357,15 @@ def main() -> None:
         else:
             train_set = near_weighted(trajs) if args.weighted_aggregate \
                 else trajs
-            rb, epoch_hist = train_round(
-                k, train_set, args.epochs_k, 1e-4, 1,
-                init_params=best["params"],
-            )
+            if args.retrain_scratch:
+                rb, epoch_hist = train_round(
+                    k, train_set, args.epochs0, 3e-4, 3,
+                )
+            else:
+                rb, epoch_hist = train_round(
+                    k, train_set, args.epochs_k, 1e-4, 1,
+                    init_params=best["params"],
+                )
             params_io.save_params(str(pk_path), rb["params"])
             json.dump({"success": rb["success"], "epoch": rb["epoch"],
                        "epochs": epoch_hist}, open(eh_path, "w"))
@@ -436,7 +449,9 @@ def main() -> None:
                   + (", proximity-weighted aggregation"
                      if args.weighted_aggregate else "")
                   + (f", beta-mixed collection (beta0={args.beta0})"
-                     if args.beta0 > 0 else ""),
+                     if args.beta0 > 0 else "")
+                  + (", retrain-from-scratch rounds (classic DAgger)"
+                     if args.retrain_scratch else ""),
         "dagger_history": history,
         "selected_round": best["round"],
         "selected_epoch": best["epoch"],
