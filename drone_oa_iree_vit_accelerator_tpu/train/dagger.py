@@ -48,6 +48,7 @@ def _collect_batch(
     frame_stride: int,
     desired_vel: float,
     expert_mix: float,
+    sanitize_labels: bool,
     key: jax.Array,
 ) -> _Collected:
     """Roll B drones under the current policy; label states with the expert.
@@ -55,6 +56,22 @@ def _collect_batch(
     ``expert_mix``: probability per-drone-per-segment of executing the
     EXPERT action instead of the policy's (DAgger's beta; 0 = pure
     on-policy). Labels are always the expert's.
+
+    ``sanitize_labels``: observability-consistent relabeling. The
+    scripted expert's command is a function of world STATE — including
+    components a depth frame cannot show (its altitude-keeping term
+    corrects z-drift; its x slows while it corrects). On a drifted
+    policy's visited states this yields huge state-dependent labels on
+    visually threat-free frames (measured: |z| label mean 2.40 vs 0.25,
+    83% of frames with |lat|>1 — seed 1 round 1). With this flag,
+    frames with no threat visible within the expert's 10 m dodge
+    horizon get the canonical cruise label [desired_vel, 0, 0];
+    threat-visible frames keep the expert's dodge label. Data-hygiene
+    option: it provably removes the unfittable label component, but the
+    measured seeds-1/2 collapse is NOT rescued by it — the probe matrix
+    (checkpoints/policy_report.json collapse probes;
+    scripts/collapse_control_probe.py) shows the poison rides the
+    policy-visited FRAMES and survives every label intervention.
     """
     b = worlds.radii.shape[0]
     drone0 = jax.vmap(lambda _: W.init_drone(wcfg))(jnp.arange(b))
@@ -108,7 +125,16 @@ def _collect_batch(
         )
         reached = drone_new.pos[:, 0] >= wcfg.goal_x
         done_new = done | (hit & active) | reached
-        return (drone_new, lstm_new, done_new, k), (images, exp_cmd, active)
+        if sanitize_labels:
+            # Threat visible within the expert's 10 m dodge horizon?
+            # (inverse-depth u8: brightness (1 - d/max_depth)*255)
+            horizon_px = (1.0 - 10.0 / wcfg.max_depth) * 255.0
+            vis = images.reshape(b, -1).max(axis=1) > horizon_px
+            cruise = jnp.zeros_like(exp_cmd).at[:, 0].set(desired_vel)
+            label = jnp.where(vis[:, None], exp_cmd, cruise)
+        else:
+            label = exp_cmd
+        return (drone_new, lstm_new, done_new, k), (images, label, active)
 
     (_, _, _, _), (frames, labels, active) = jax.lax.scan(
         segment,
@@ -128,6 +154,7 @@ def collect_policy_trajectories(
     frame_stride: int = 5,
     desired_vel: float = 5.0,
     expert_mix: float = 0.0,
+    sanitize_labels: bool = False,
     seed: int = 0,
     min_frames: int = 8,
 ) -> list[Trajectory]:
@@ -135,14 +162,14 @@ def collect_policy_trajectories(
 
     Returns reference-layout Trajectory tuples (frames u8, vel_des, quat,
     expert cmd) trimmed to each drone's active prefix — drop-in for
-    Trainer(trajectories=...).
+    Trainer(trajectories=...). ``sanitize_labels``: see _collect_batch.
     """
     key = jax.random.PRNGKey(seed)
     worlds = sample_worlds(jax.random.fold_in(key, 1), n_trajectories, wcfg)
     run = jax.jit(
         lambda p, w: _collect_batch(
             cfg, p, w, wcfg, steps, frame_stride, desired_vel,
-            expert_mix, jax.random.fold_in(key, 2),
+            expert_mix, sanitize_labels, jax.random.fold_in(key, 2),
         )
     )
     col = jax.block_until_ready(run(params, worlds))

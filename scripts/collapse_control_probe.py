@@ -51,6 +51,24 @@ def main() -> None:
     ap.add_argument("--tpu", action="store_true")
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--out", default="/tmp/collapse_control_probe.json")
+    ap.add_argument("--arm", default="expert_control",
+                    choices=["expert_control", "clipped_onpolicy",
+                             "masked_onpolicy", "cruise_expert",
+                             "sanitized_onpolicy"],
+                    help="expert_control: +48 fresh EXPERT trajs (volume "
+                    "control). clipped_onpolicy: +48 cached ON-POLICY "
+                    "trajs from --onpolicy-npz with lateral labels "
+                    "clipped to +-clip m/s — probes whether saturating "
+                    "the expert's unbounded recovery corrections "
+                    "(measured: |z| mean 2.40 vs 0.25 in expert data — "
+                    "the altitude-keeping P-term on an altitude-drifted "
+                    "policy) de-poisons the data.")
+    ap.add_argument("--onpolicy-npz", default=None,
+                    help="cached round-1 on-policy trajs for the "
+                    "clipped_onpolicy arm")
+    ap.add_argument("--clip", type=float, default=1.2,
+                    help="per-component lateral label clip (m/s); 1.2 is "
+                    "the expert-data |y| p95")
     args = ap.parse_args()
 
     S = args.seed
@@ -65,13 +83,87 @@ def main() -> None:
     base = DG.collect_expert_trajectories(
         DT.CFG, 96, wcfg=DT.WCFG, steps=steps, seed=world_seed0
     )
-    # Same world seed the pipeline's round-1 ON-POLICY arm used — only
-    # the controller differs (scripts/dagger_train.py round-k collection
-    # uses seed world_seed0 + k).
-    log(f"collecting 48 CONTROL expert trajs (seed {world_seed0 + 1})...")
-    extra = DG.collect_expert_trajectories(
-        DT.CFG, 48, wcfg=DT.WCFG, steps=steps, seed=world_seed0 + 1
-    )
+    if args.arm == "expert_control":
+        # Same world seed the pipeline's round-1 ON-POLICY arm used —
+        # only the controller differs (scripts/dagger_train.py round-k
+        # collection uses seed world_seed0 + k).
+        log(f"collecting 48 CONTROL expert trajs (seed {world_seed0 + 1})...")
+        extra = DG.collect_expert_trajectories(
+            DT.CFG, 48, wcfg=DT.WCFG, steps=steps, seed=world_seed0 + 1
+        )
+    elif args.arm == "clipped_onpolicy":
+        raw = DT.load_trajs(pathlib.Path(args.onpolicy_npz))
+        c = args.clip
+        extra = [
+            t._replace(cmd_gt=np.concatenate(
+                [t.cmd_gt[:, :1], np.clip(t.cmd_gt[:, 1:], -c, c)], axis=1
+            ))
+            for t in raw
+        ]
+        log(f"loaded {len(extra)} on-policy trajs, lateral labels "
+            f"clipped to +-{c}")
+    elif args.arm == "cruise_expert":
+        # The last variable: cruise-dominated frames per se, with the
+        # controller/label/contiguity confounds all removed — EXPERT
+        # rollouts through nearly-empty worlds (2 obstacles vs 24) are
+        # contiguous, expert-controlled, and cruise-dominated like the
+        # poisonous on-policy data. Kills training -> cruise-frame
+        # dilution is causal. Healthy -> the poison is specific to
+        # policy-visited states.
+        from drone_oa_iree_vit_accelerator_tpu.sim.world import (
+            WorldConfig,
+        )
+        sparse = WorldConfig(n_obstacles=2)
+        log(f"collecting 48 CRUISE expert trajs (2-obstacle worlds, "
+            f"seed {world_seed0 + 1})...")
+        extra = DG.collect_expert_trajectories(
+            DT.CFG, 48, wcfg=sparse, steps=steps, seed=world_seed0 + 1
+        )
+    elif args.arm == "sanitized_onpolicy":
+        # masked_onpolicy kept the x labels, which still encode
+        # unobservable state (the expert reduces x while it corrects,
+        # and the correction magnitude depends on invisible z-drift).
+        # Full observability-consistent relabeling: threat-free frames
+        # get the canonical cruise label [desired_vel, 0, 0]; frames
+        # with a visible threat keep the expert's dodge label.
+        raw = DT.load_trajs(pathlib.Path(args.onpolicy_npz))
+        thresh = (1.0 - 10.0 / DT.WCFG.max_depth) * 255.0
+        extra = []
+        masked, tot = 0, 0
+        for t in raw:
+            vis = t.frames.reshape(t.frames.shape[0], -1).max(axis=1) \
+                > thresh
+            cruise = np.zeros_like(t.cmd_gt)
+            cruise[:, 0] = t.vel_des[:, 0]
+            cmd = np.where(vis[:, None], t.cmd_gt, cruise)
+            masked += int((~vis).sum())
+            tot += len(vis)
+            extra.append(t._replace(cmd_gt=cmd.astype(np.float32)))
+        log(f"loaded {len(extra)} on-policy trajs, full cruise label on "
+            f"{masked}/{tot} threat-free frames")
+    else:
+        # masked_onpolicy — observability-consistent relabeling: the
+        # poisonous labels are functions of UNOBSERVABLE state (the
+        # expert's altitude-keeping term corrects z-drift that a depth
+        # frame cannot show: |z| label mean 2.40 on near-empty frames).
+        # MSE on unfittable targets forces the LSTM to hallucinate an
+        # integrator. Zero the lateral label wherever NO threat is
+        # visible in the frame (brightest pixel < 10 m equivalent);
+        # dodge labels on threat-visible frames stay.
+        raw = DT.load_trajs(pathlib.Path(args.onpolicy_npz))
+        thresh = (1.0 - 10.0 / DT.WCFG.max_depth) * 255.0
+        extra = []
+        masked, tot = 0, 0
+        for t in raw:
+            vis = t.frames.reshape(t.frames.shape[0], -1).max(axis=1) \
+                > thresh
+            lat = t.cmd_gt[:, 1:] * vis[:, None]
+            masked += int((~vis).sum())
+            tot += len(vis)
+            extra.append(t._replace(cmd_gt=np.concatenate(
+                [t.cmd_gt[:, :1], lat], axis=1).astype(np.float32)))
+        log(f"loaded {len(extra)} on-policy trajs, lateral labels zeroed "
+            f"on {masked}/{tot} threat-free frames")
     trajs = base + extra
     log(f"aggregate: {len(base)} + {len(extra)} trajs")
 
@@ -101,19 +193,17 @@ def main() -> None:
 
     report = {
         "seed": S,
-        "arms": {
-            "expert_96_only (round-0 cache)": "see policy_report round 0",
-            "expert_96_plus_48_onpolicy": "retrain_scratch_probe (all 0.0)",
-            "expert_96_plus_48_expert_control": hist,
-        },
-        "control_best": max(hist) if hist else None,
+        "arm": args.arm,
+        "clip": args.clip if args.arm == "clipped_onpolicy" else None,
+        "epoch_vals": hist,
+        "best": max(hist) if hist else None,
         "data": {
             "base": DT.data_stats(base),
-            "extra_expert_control": DT.data_stats(extra),
+            "extra": DT.data_stats(extra),
         },
     }
     json.dump(report, open(args.out, "w"), indent=1)
-    log(f"control best: {report['control_best']} -> {args.out}")
+    log(f"{args.arm} best: {report['best']} -> {args.out}")
 
 
 if __name__ == "__main__":

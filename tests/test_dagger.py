@@ -30,6 +30,32 @@ def test_expert_collection_shapes_and_labels():
         assert t.cmd_gt[:, 0].mean() > 1.0
 
 
+def test_sanitized_labels_are_observability_consistent():
+    """sanitize_labels: threat-free frames get the canonical cruise
+    label [desired_vel, 0, 0]; threat-visible frames keep the expert's
+    dodge label (train/dagger.py _collect_batch)."""
+    params = M.init_params(CFG, jax.random.PRNGKey(1))
+    trajs = DG.collect_policy_trajectories(
+        CFG, params, 4, wcfg=WCFG, steps=400, frame_stride=5, seed=7,
+        expert_mix=0.5, sanitize_labels=True, desired_vel=5.0,
+    )
+    if not trajs:
+        return
+    thresh = (1.0 - 10.0 / WCFG.max_depth) * 255.0
+    seen_free = False
+    for t in trajs:
+        vis = t.frames.reshape(t.frames.shape[0], -1).max(axis=1) > thresh
+        free = ~vis
+        if free.any():
+            seen_free = True
+            np.testing.assert_allclose(
+                t.cmd_gt[free],
+                np.tile([5.0, 0.0, 0.0], (int(free.sum()), 1)),
+                atol=1e-6,
+            )
+    assert seen_free  # the probe only means something if it fired
+
+
 def test_policy_collection_feeds_trainer_batches():
     params = M.init_params(CFG, jax.random.PRNGKey(0))
     trajs = DG.collect_policy_trajectories(
