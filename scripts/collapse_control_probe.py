@@ -1,24 +1,39 @@
-"""Control probe for the seeds-1/2 DAgger collapse attribution.
+"""Causal probe arms for the seeds-1/2 DAgger collapse attribution.
 
-The retrain-scratch probe (checkpoints/policy_report.json
-``retrain_scratch_probe``) showed: seed 1's round-0 recipe reaches
-0.938 closed-loop on 96 expert trajectories, but 0.0 at EVERY epoch
-once its 48 relabeled on-policy trajectories join the aggregate. That
-supports "the on-policy data is poisonous" — but has a confound: maybe
-ANY 50% data growth perturbs the knife-edge training dynamics enough to
-miss the lucky epoch, regardless of where the data comes from.
+Context (checkpoints/policy_report.json ``retrain_scratch_probe``):
+seed 1's round-0 recipe reaches 0.938 closed-loop on 96 expert
+trajectories, but 0.0 at EVERY epoch once its 48 relabeled on-policy
+trajectories join the aggregate. Each ``--arm`` below trains the same
+from-scratch recipe on 96 expert + 48 X and differs only in X —
+isolating one candidate cause per arm. MEASURED RESULTS (seed 1,
+recorded in policy_report.json ``label_intervention_probes``):
 
-This control isolates the variable: train from scratch on 96 expert
-trajs + 48 MORE EXPERT trajs collected in the SAME worlds (same world
-seed) the on-policy arm used — identical volume growth, identical
-worlds, only the visited-state distribution/controller differs.
+- ``expert_control``      X = fresh expert trajs, same worlds as the
+                          on-policy arm. HEALTHY (0.875, 19/20 epochs
+                          nonzero) -> volume/dynamics exonerated.
+- ``cruise_expert``       X = expert trajs in near-EMPTY (2-obstacle)
+                          worlds; more cruise-dominated than the
+                          poison data. HEALTHY (0.875) -> cruise
+                          dilution exonerated.
+- ``clipped_onpolicy``    X = cached on-policy trajs, lateral labels
+                          clipped to the expert p95. DEAD (0.0 x20)
+                          -> label magnitude exonerated.
+- ``masked_onpolicy``     X = on-policy, lateral labels zeroed on
+                          threat-free frames. DEAD -> lateral label
+                          content exonerated.
+- ``sanitized_onpolicy``  X = on-policy, full observability-consistent
+                          relabeling (canonical cruise [v,0,0] on
+                          threat-free frames). DEAD -> ALL label
+                          content exonerated.
 
-- Control also collapses  -> the poison claim overreaches; the collapse
-  is knife-edge training-dynamics sensitivity to any data change.
-- Control stays healthy   -> the on-policy data itself is the poison.
+Conclusion: the poison rides the policy-visited FRAMES themselves,
+below the level of every observable tested (labels, cruise fraction,
+blankness, crash fraction, volume). The production pipeline keeps its
+safeguards (per-epoch closed-loop selection, round-0 fallback).
 
-Run (TPU, ~8 min):
-    python scripts/collapse_control_probe.py --tpu --seed 1
+Run (TPU, ~6 min/arm; on-policy arms need --onpolicy-npz pointing at a
+cached trajs_round1.npz from scripts/dagger_train.py):
+    python scripts/collapse_control_probe.py --tpu --seed 1 --arm ...
 """
 
 import argparse
