@@ -25,11 +25,23 @@ recorded in policy_report.json ``label_intervention_probes``):
                           relabeling (canonical cruise [v,0,0] on
                           threat-free frames). DEAD -> ALL label
                           content exonerated.
+- ``raw_onpolicy``        X = cached on-policy trajs unmodified; point
+                          --onpolicy-npz at ANOTHER seed's data for the
+                          cross-swap. Seed-0 data under seed-1's
+                          recipe: HEALTHY (0.9375) -> the poison is in
+                          seed-1's specific trajectories.
+- ``chunked_onpolicy``    X = the poison trajs split into 40-frame
+                          chunks (LSTM re-zeroed per chunk, labels
+                          untouched). INTERMEDIATE (0.359 best, 9/20
+                          nonzero) -> sequence-level temporal structure
+                          is the dominant carrier.
 
-Conclusion: the poison rides the policy-visited FRAMES themselves,
-below the level of every observable tested (labels, cruise fraction,
-blankness, crash fraction, volume). The production pipeline keeps its
-safeguards (per-epoch closed-loop selection, round-0 fallback).
+Conclusion: the poison is carried predominantly by the sequence-level
+temporal structure of seed 1's altitude-drift flights — the LSTM
+learns corrupted recurrent dynamics from whole drift-motion sequences
+regardless of labels (per-frame features are indistinguishable from
+healthy data to the deployed encoder). The production pipeline keeps
+its safeguards (per-epoch closed-loop selection, round-0 fallback).
 
 Run (TPU, ~6 min/arm; on-policy arms need --onpolicy-npz pointing at a
 cached trajs_round1.npz from scripts/dagger_train.py):
@@ -69,7 +81,8 @@ def main() -> None:
     ap.add_argument("--arm", default="expert_control",
                     choices=["expert_control", "clipped_onpolicy",
                              "masked_onpolicy", "cruise_expert",
-                             "sanitized_onpolicy"],
+                             "sanitized_onpolicy", "raw_onpolicy",
+                             "chunked_onpolicy"],
                     help="expert_control: +48 fresh EXPERT trajs (volume "
                     "control). clipped_onpolicy: +48 cached ON-POLICY "
                     "trajs from --onpolicy-npz with lateral labels "
@@ -106,6 +119,38 @@ def main() -> None:
         extra = DG.collect_expert_trajectories(
             DT.CFG, 48, wcfg=DT.WCFG, steps=steps, seed=world_seed0 + 1
         )
+    elif args.arm == "raw_onpolicy":
+        # Unmodified cached on-policy trajectories — the in-script
+        # baseline, and the CROSS-SWAP arm: pointing --onpolicy-npz at
+        # ANOTHER seed's round-1 data while training with this seed's
+        # recipe tests whether the poison is in the specific data or in
+        # the (on-policy-frames x this-seed-training) interaction. The
+        # feature-space check showed seed 0's healthy and seed 1's
+        # poisonous on-policy frames are statistically indistinguishable
+        # to the deployed encoder (Mahalanobis 5.5 vs 5.5).
+        extra = DT.load_trajs(pathlib.Path(args.onpolicy_npz))
+        log(f"loaded {len(extra)} on-policy trajs unmodified")
+    elif args.arm == "chunked_onpolicy":
+        # Temporal-structure probe: per-frame statistics of the poison
+        # data are indistinguishable from healthy on-policy data, and
+        # the cross-swap shows the poison is in THESE trajectories —
+        # the remaining carrier is sequence structure (the LSTM trains
+        # on whole drift-motion flights). Split every cached trajectory
+        # into 40-frame chunks (the LSTM re-zeroes per chunk at train
+        # time): healthy -> long drift sequences are the poison carrier;
+        # dead -> even 2-second snippets of the data poison training.
+        raw = DT.load_trajs(pathlib.Path(args.onpolicy_npz))
+        extra = []
+        for t in raw:
+            for s0 in range(0, t.frames.shape[0], 40):
+                extra.append(type(t)(
+                    frames=t.frames[s0:s0 + 40],
+                    vel_des=t.vel_des[s0:s0 + 40],
+                    quat=t.quat[s0:s0 + 40],
+                    cmd_gt=t.cmd_gt[s0:s0 + 40],
+                ))
+        log(f"chunked {len(raw)} trajs into {len(extra)} 40-frame "
+            f"segments (labels untouched)")
     elif args.arm == "clipped_onpolicy":
         raw = DT.load_trajs(pathlib.Path(args.onpolicy_npz))
         c = args.clip
