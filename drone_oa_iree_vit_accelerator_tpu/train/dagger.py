@@ -37,6 +37,7 @@ class _Collected(NamedTuple):
     frames: jax.Array  # (T, B, 60, 90) u8
     labels: jax.Array  # (T, B, 3) expert commands at the visited states
     active: jax.Array  # (T, B) bool — state was live when visited
+    drift: jax.Array   # (T, B) lateral corridor drift |(y, z-spawn_z)| m
 
 
 def _collect_batch(
@@ -134,14 +135,21 @@ def _collect_batch(
             label = jnp.where(vis[:, None], exp_cmd, cruise)
         else:
             label = exp_cmd
-        return (drone_new, lstm_new, done_new, k), (images, label, active)
+        drift = jnp.sqrt(
+            drone.pos[:, 1] ** 2 + (drone.pos[:, 2] - wcfg.spawn_z) ** 2
+        )
+        return (
+            (drone_new, lstm_new, done_new, k),
+            (images, label, active, drift),
+        )
 
-    (_, _, _, _), (frames, labels, active) = jax.lax.scan(
+    (_, _, _, _), (frames, labels, active, drift) = jax.lax.scan(
         segment,
         (drone0, lstm0, jnp.zeros((b,), bool), key),
         jnp.arange(n_rec),
     )
-    return _Collected(frames=frames, labels=labels, active=active)
+    return _Collected(frames=frames, labels=labels, active=active,
+                      drift=drift)
 
 
 def collect_policy_trajectories(
@@ -155,6 +163,7 @@ def collect_policy_trajectories(
     desired_vel: float = 5.0,
     expert_mix: float = 0.0,
     sanitize_labels: bool = False,
+    max_drift_m: float | None = None,
     seed: int = 0,
     min_frames: int = 8,
 ) -> list[Trajectory]:
@@ -163,6 +172,15 @@ def collect_policy_trajectories(
     Returns reference-layout Trajectory tuples (frames u8, vel_des, quat,
     expert cmd) trimmed to each drone's active prefix — drop-in for
     Trainer(trajectories=...). ``sanitize_labels``: see _collect_batch.
+
+    ``max_drift_m``: truncate each trajectory at the first frame whose
+    lateral corridor drift |(y, z - spawn_z)| exceeds this bound. The
+    round-3 collapse attribution (checkpoints/policy_report.json
+    label_intervention_probes) found that whole altitude-drift flights
+    poison LSTM training regardless of their labels — drift is visible
+    to the collector's sim state even though the policy's depth camera
+    cannot see it, so bounding it here removes the poison carrier at
+    the source. None (default) keeps the full active prefix.
     """
     key = jax.random.PRNGKey(seed)
     worlds = sample_worlds(jax.random.fold_in(key, 1), n_trajectories, wcfg)
@@ -176,10 +194,15 @@ def collect_policy_trajectories(
     frames = np.asarray(col.frames)  # (T, B, 60, 90)
     labels = np.asarray(col.labels)
     active = np.asarray(col.active)
+    drift = np.asarray(col.drift)
 
     out: list[Trajectory] = []
     for i in range(n_trajectories):
         n = int(active[:, i].sum())
+        if max_drift_m is not None:
+            over = np.nonzero(drift[:n, i] > max_drift_m)[0]
+            if over.size:
+                n = int(over[0])
         # Trim to a multiple of 40 frames: pad_batch pads each batch to
         # its max length, and a fresh (B, T) shape means a fresh XLA
         # compile — quantizing lengths keeps the compile set small.

@@ -56,6 +56,33 @@ def test_sanitized_labels_are_observability_consistent():
     assert seen_free  # the probe only means something if it fired
 
 
+def test_max_drift_truncation_bounds_trajectories():
+    """max_drift_m truncates a trajectory at the first off-corridor
+    frame (round-3 collapse attribution: whole drift flights poison
+    LSTM training). Same seed with/without the bound: bounded output is
+    a prefix of the unbounded output, and total frames shrink when a
+    random policy (which drifts fast) collects."""
+    params = M.init_params(CFG, jax.random.PRNGKey(2))
+    kw = dict(wcfg=WCFG, steps=400, frame_stride=5, seed=11,
+              expert_mix=0.0)
+    free = DG.collect_policy_trajectories(CFG, params, 6, **kw)
+    tight = DG.collect_policy_trajectories(
+        CFG, params, 6, max_drift_m=0.5, **kw
+    )
+    if not free:
+        return
+    n_free = sum(t.frames.shape[0] for t in free)
+    n_tight = sum(t.frames.shape[0] for t in tight)
+    assert n_tight <= n_free
+    # every bounded trajectory is a frame-prefix of some unbounded one
+    free_by_head = {t.frames[:40].tobytes(): t for t in free}
+    for t in tight:
+        src = free_by_head.get(t.frames[:40].tobytes())
+        assert src is not None
+        n = t.frames.shape[0]
+        assert np.array_equal(t.frames, src.frames[:n])
+
+
 def test_policy_collection_feeds_trainer_batches():
     params = M.init_params(CFG, jax.random.PRNGKey(0))
     trajs = DG.collect_policy_trajectories(
