@@ -38,6 +38,7 @@ class _Collected(NamedTuple):
     labels: jax.Array  # (T, B, 3) expert commands at the visited states
     active: jax.Array  # (T, B) bool — state was live when visited
     drift: jax.Array   # (T, B) lateral corridor drift |(y, z-spawn_z)| m
+    drift_z: jax.Array  # (T, B) altitude drift |z - spawn_z| m
 
 
 def _collect_batch(
@@ -135,21 +136,20 @@ def _collect_batch(
             label = jnp.where(vis[:, None], exp_cmd, cruise)
         else:
             label = exp_cmd
-        drift = jnp.sqrt(
-            drone.pos[:, 1] ** 2 + (drone.pos[:, 2] - wcfg.spawn_z) ** 2
-        )
+        drift_z = jnp.abs(drone.pos[:, 2] - wcfg.spawn_z)
+        drift = jnp.sqrt(drone.pos[:, 1] ** 2 + drift_z ** 2)
         return (
             (drone_new, lstm_new, done_new, k),
-            (images, label, active, drift),
+            (images, label, active, drift, drift_z),
         )
 
-    (_, _, _, _), (frames, labels, active, drift) = jax.lax.scan(
+    (_, _, _, _), (frames, labels, active, drift, drift_z) = jax.lax.scan(
         segment,
         (drone0, lstm0, jnp.zeros((b,), bool), key),
         jnp.arange(n_rec),
     )
     return _Collected(frames=frames, labels=labels, active=active,
-                      drift=drift)
+                      drift=drift, drift_z=drift_z)
 
 
 def collect_policy_trajectories(
@@ -164,6 +164,7 @@ def collect_policy_trajectories(
     expert_mix: float = 0.0,
     sanitize_labels: bool = False,
     max_drift_m: float | None = None,
+    max_z_drift_m: float | None = None,
     seed: int = 0,
     min_frames: int = 8,
 ) -> list[Trajectory]:
@@ -181,6 +182,14 @@ def collect_policy_trajectories(
     to the collector's sim state even though the policy's depth camera
     cannot see it, so bounding it here removes the poison carrier at
     the source. None (default) keeps the full active prefix.
+
+    ``max_z_drift_m``: same truncation on |z - spawn_z| ALONE. The
+    round-4 drift probe (scripts/drift_probe.py) measured the axes
+    separately: the expert's altitude drift never exceeds 2.3 m while
+    the collapsing seeds' round-0 policies blow up to ~11 m in z — but
+    a HEALTHY policy legitimately wanders >20 m in y while correcting
+    (seed 0), so the combined bound cannot separate poison from useful
+    off-corridor DAgger states. Bounding z alone does, cleanly.
     """
     key = jax.random.PRNGKey(seed)
     worlds = sample_worlds(jax.random.fold_in(key, 1), n_trajectories, wcfg)
@@ -195,12 +204,17 @@ def collect_policy_trajectories(
     labels = np.asarray(col.labels)
     active = np.asarray(col.active)
     drift = np.asarray(col.drift)
+    drift_z = np.asarray(col.drift_z)
 
     out: list[Trajectory] = []
     for i in range(n_trajectories):
         n = int(active[:, i].sum())
         if max_drift_m is not None:
             over = np.nonzero(drift[:n, i] > max_drift_m)[0]
+            if over.size:
+                n = int(over[0])
+        if max_z_drift_m is not None:
+            over = np.nonzero(drift_z[:n, i] > max_z_drift_m)[0]
             if over.size:
                 n = int(over[0])
         # Trim to a multiple of 40 frames: pad_batch pads each batch to
@@ -220,6 +234,29 @@ def collect_policy_trajectories(
                 cmd_gt=labels[:n, i].astype(np.float32),
             )
         )
+    return out
+
+
+def chunk_trajectories(
+    trajectories: list[Trajectory], max_frames: int
+) -> list[Trajectory]:
+    """Split trajectories into <=max_frames snippets (LSTM re-zeroed per
+    snippet by the trainer's per-trajectory state reset).
+
+    Secondary collapse mitigation: the round-3 closing probe measured
+    that chunking poison flights into 40-frame snippets restores partial
+    trainability (0.359 vs 0.0 — checkpoints/policy_report.json
+    label_intervention_probes.chunked_onpolicy), i.e. the poison lives
+    in long-range temporal structure the LSTM absorbs. max_frames should
+    stay a multiple of 40 (the pad_batch length quantum)."""
+    out: list[Trajectory] = []
+    for t in trajectories:
+        n = t.frames.shape[0]
+        for s in range(0, n, max_frames):
+            e = min(s + max_frames, n)
+            if e - s < 40:
+                break
+            out.append(Trajectory(*[f[s:e] for f in t]))
     return out
 
 

@@ -220,6 +220,23 @@ def main() -> None:
                     "1e-4. Probe for the seeds-1/2 collapse, which the "
                     "beta-mix probe showed is a fine-tuning instability, "
                     "not collection drift.")
+    ap.add_argument("--max-z-drift-m", type=float, default=None,
+                    help="truncate round-k>=1 collection at the first "
+                    "frame whose ALTITUDE drift |z - spawn_z| exceeds "
+                    "this bound. Round-4 collapse cure: the drift probe "
+                    "(scripts/drift_probe.py) measured expert z-drift "
+                    "<= 2.3 m vs ~11 m for the collapsing seeds' "
+                    "policies, while healthy lateral correction spans "
+                    ">20 m in y — z alone separates the poison. 3.0 is "
+                    "the validated setting.")
+    ap.add_argument("--max-drift-m", type=float, default=None,
+                    help="combined |(y, z-spawn_z)| truncation bound "
+                    "(superseded by --max-z-drift-m; kept for probes)")
+    ap.add_argument("--chunk-frames", type=int, default=None,
+                    help="split round-k>=1 collected trajectories into "
+                    "<=N-frame snippets before aggregation (multiple of "
+                    "40; secondary mitigation, measured 0.0 -> 0.36 on "
+                    "poison data in the round-3 probes)")
     ap.add_argument("--weighted-aggregate", action="store_true",
                     help="proximity-weighted DAgger aggregation: repeat "
                     "near-obstacle-rich trajectories in rounds k>=1 so "
@@ -331,8 +348,14 @@ def main() -> None:
         dk_path = work / f"trajs_round{k}.npz"
         pk_path = work / f"params_round{k}.npz"
         eh_path = work / f"epochs_round{k}.json"
+        meta_path = work / f"trajs_round{k}.meta.json"
         if dk_path.exists():
             new = load_trajs(dk_path)
+            # The cached npz may have been collected under different
+            # flags than this invocation's (ADVICE r3): report the
+            # persisted collection meta, never this run's CLI values.
+            col_meta = (json.load(open(meta_path)) if meta_path.exists()
+                        else {"cached": "pre-meta cache, params unknown"})
             log(f"loaded round-{k} dagger data ({len(new)} trajs)")
         else:
             log(f"round {k}: collecting {args.dagger_trajs} on-policy trajs...")
@@ -341,9 +364,18 @@ def main() -> None:
                 CFG, best["params"], args.dagger_trajs, wcfg=WCFG,
                 steps=steps, seed=world_seed0 + k,
                 expert_mix=beta_k,
+                max_drift_m=args.max_drift_m,
+                max_z_drift_m=args.max_z_drift_m,
             )
             save_trajs(dk_path, new)
+            col_meta = {"beta_mix": round(beta_k, 4),
+                        "max_drift_m": args.max_drift_m,
+                        "max_z_drift_m": args.max_z_drift_m,
+                        "collected_by_round": best["round"]}
+            json.dump(col_meta, open(meta_path, "w"))
             log(f"round {k}: collected {len(new)} usable trajs")
+        if args.chunk_frames:
+            new = DG.chunk_trajectories(new, args.chunk_frames)
         trajs = trajs + new
         round_slices[k] = len(trajs)
 
@@ -374,7 +406,7 @@ def main() -> None:
             f"{rb['success']:.3f} ({len(trajs)} trajs)")
         entry = {
             "round": k, "n_trajs": len(trajs),
-            "beta_mix": round(args.beta0 * (0.5 ** (k - 1)), 4),
+            "collection": col_meta,
             "val_success": rb["success"], "best_epoch": rb["epoch"],
             "epoch_val_history": epoch_hist,
             "new_data": data_stats(new),
@@ -450,6 +482,14 @@ def main() -> None:
                      if args.weighted_aggregate else "")
                   + (f", beta-mixed collection (beta0={args.beta0})"
                      if args.beta0 > 0 else "")
+                  + (f", z-drift-bounded collection "
+                     f"(max_z_drift_m={args.max_z_drift_m})"
+                     if args.max_z_drift_m is not None else "")
+                  + (f", drift-bounded collection "
+                     f"(max_drift_m={args.max_drift_m})"
+                     if args.max_drift_m is not None else "")
+                  + (f", sequence chunking (<= {args.chunk_frames} frames)"
+                     if args.chunk_frames else "")
                   + (", retrain-from-scratch rounds (classic DAgger)"
                      if args.retrain_scratch else ""),
         "dagger_history": history,
