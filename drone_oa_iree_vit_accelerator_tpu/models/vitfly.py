@@ -166,15 +166,24 @@ def init_params(cfg: VitflyConfig, key: jax.Array) -> dict:
     }
 
 
-def efficient_attention(x: jax.Array, p: dict, hw, heads: int, reduction: int):
-    """EfficientSelfAttention (reference export_model.py:53-80): K/V from
-    a strided-conv-reduced token map; WITH 1/sqrt(d) scaling."""
+def reduce_tokens(x: jax.Array, p: dict, hw, reduction: int) -> jax.Array:
+    """The K/V spatial reduction: strided conv + LayerNorm on the token
+    map (reference export_model.py:66-71). FLOAT region even in the
+    quantized model — the reference's ITASelfAttentionWrapper computes
+    cn1/ln1 outside the quantized module (export_model.py:171-178)."""
     b, n, c = x.shape
     h, w = hw
     x1 = x.transpose(0, 2, 1).reshape(b, c, h, w)
     x1 = L.conv2d(x1, p["reduce_conv"], stride=reduction, padding=0)
     x1 = x1.reshape(b, c, -1).transpose(0, 2, 1)
-    x1 = L.layer_norm(x1, p["reduce_ln"])
+    return L.layer_norm(x1, p["reduce_ln"])
+
+
+def efficient_attention(x: jax.Array, p: dict, hw, heads: int, reduction: int):
+    """EfficientSelfAttention (reference export_model.py:53-80): K/V from
+    a strided-conv-reduced token map; WITH 1/sqrt(d) scaling."""
+    b, n, c = x.shape
+    x1 = reduce_tokens(x, p, hw, reduction)
 
     kv = L.linear(x1, p["kv"])  # (B, M, 2C)
     m = kv.shape[1]
@@ -209,15 +218,30 @@ def mix_ffn(x: jax.Array, p: dict, hw):
     return L.linear(y, p["mlp2"])
 
 
-def _stage_forward(x2d: jax.Array, sp: dict, sc: StageConfig):
-    """(B, Cin, H, W) -> (B, Cout, H', W')."""
+def _stage_forward(
+    x2d: jax.Array, sp: dict, sc: StageConfig, stage_idx: int = 0,
+    attn_fn=None,
+):
+    """(B, Cin, H, W) -> (B, Cout, H', W').
+
+    ``attn_fn(stage_idx, layer_idx, tokens, reduced) -> attn_out``
+    swaps the attention for another implementation at the SAME boundary
+    the reference's quantized export uses (MiXITAEncoderLayer replaces
+    EfficientSelfAttention with the ITA wrapper while the reduction
+    conv/LN stays float, export_model.py:183-203); None = float path.
+    """
     y = L.conv2d(x2d, sp["patch_conv"], stride=sc.stride, padding=sc.pad)
     b, c, h, w = y.shape
     tokens = L.layer_norm(y.reshape(b, c, h * w).transpose(0, 2, 1), sp["patch_ln"])
-    for lp in sp["layers"]:
-        tokens = tokens + efficient_attention(
-            tokens, lp["attn"], (h, w), sc.heads, sc.reduction
-        )
+    for li, lp in enumerate(sp["layers"]):
+        if attn_fn is None:
+            attn = efficient_attention(
+                tokens, lp["attn"], (h, w), sc.heads, sc.reduction
+            )
+        else:
+            reduced = reduce_tokens(tokens, lp["attn"], (h, w), sc.reduction)
+            attn = attn_fn(stage_idx, li, tokens, reduced)
+        tokens = tokens + attn
         tokens = tokens + mix_ffn(tokens, lp["ffn"], (h, w))
         tokens = L.layer_norm(tokens, lp["ln"])
     return tokens.transpose(0, 2, 1).reshape(b, c, h, w)
@@ -232,8 +256,12 @@ def forward(
     state: LSTMState | None = None,
     training: bool = False,
     rng: jax.Array | None = None,
+    attn_fn=None,
 ) -> tuple[jax.Array, LSTMState]:
-    """Per-frame step (T=1 upstream semantics): (B,...) -> cmd (B,3)."""
+    """Per-frame step (T=1 upstream semantics): (B,...) -> cmd (B,3).
+
+    ``attn_fn``: optional attention swap hook (see _stage_forward) —
+    the quantized paths (quant/vitfly_qat.py) plug in here."""
     if frame.shape[-2:] != cfg.img_hw:
         frame = bilinear_resize(frame, cfg.img_hw, align_corners=False)
     b = frame.shape[0]
@@ -243,8 +271,12 @@ def forward(
             jnp.zeros((cfg.lstm_layers, b, cfg.lstm_hidden)),
         )
 
-    f1 = _stage_forward(frame, params["stages"][0], cfg.stages[0])  # (B,32,15,23)
-    f2 = _stage_forward(f1, params["stages"][1], cfg.stages[1])     # (B,64,8,12)
+    f1 = _stage_forward(
+        frame, params["stages"][0], cfg.stages[0], 0, attn_fn
+    )  # (B,32,15,23)
+    f2 = _stage_forward(
+        f1, params["stages"][1], cfg.stages[1], 1, attn_fn
+    )   # (B,64,8,12)
 
     fused = jnp.concatenate(
         [

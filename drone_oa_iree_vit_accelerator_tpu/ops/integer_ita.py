@@ -232,6 +232,105 @@ def ita_ffn_int8(
     return ff2, stages
 
 
+@struct.dataclass
+class VitflyIntAttentionParams:
+    """Integer parameters of one vitfly ITA attention block — the true-
+    integer analog of the reference's ``MultiheadITAWithRequant`` float
+    emulation (reference scripts/export_model.py:119-162): Q projected
+    from the full token sequence, K/V from the spatially REDUCED copy
+    (cross-attention), per-stage requant (mq/sq, mk/sk, mv/sv, ma/sa,
+    mav/sav, mo/so) plus the emulation's extra FINAL output requant
+    (mf/sf, export_model.py:156-157). NO 1/sqrt(d) logit scaling — like
+    the emulation, the learned requant scale absorbs it."""
+
+    q: QuantLinearParams  # consumes the q input (scale s_q_in)
+    k: QuantLinearParams  # consumes the kv input (scale s_kv_in)
+    v: QuantLinearParams
+    o: QuantLinearParams
+    qk_mult: jax.Array
+    qk_shift: jax.Array
+    qk_add: jax.Array
+    av_mult: jax.Array
+    av_shift: jax.Array
+    av_add: jax.Array
+    final_mult: jax.Array  # mf/sf: out-proj scale -> block output scale
+    final_shift: jax.Array
+    final_add: jax.Array
+    s_q_in: jax.Array
+    s_kv_in: jax.Array
+    s_out: jax.Array  # scale of the FINAL requant output
+    num_heads: int = struct.field(pytree_node=False, default=1)
+
+
+def vitfly_attention_int8(
+    q_i8: jax.Array,   # int8 (Nq, C) quantized full tokens
+    kv_i8: jax.Array,  # int8 (Nkv, C) quantized reduced tokens
+    p: VitflyIntAttentionParams,
+    collect_stages: bool = False,
+) -> tuple[jax.Array, dict[str, jax.Array]]:
+    """Integer vitfly (Mix-Transformer) attention: the full ITA pipeline
+    with cross-attention K/V and the extra final requant.
+
+    Softmax: the ONEPASS integer softmax. Nkv here is tiny (2 tokens in
+    stage 1, 6 in stage 2 — far below ITA_N=16), so the hardware's
+    16-column partial softmax degenerates to the full one; the
+    reference's own emulation (``ita_partial_max``, top-8 of <= 6
+    logits, export_model.py:26-36) likewise computes a full softmax.
+    """
+    qp = int_linear(q_i8, p.q)    # (Nq, C)
+    kp = int_linear(kv_i8, p.k)   # (Nkv, C)
+    vp = int_linear(kv_i8, p.v)
+
+    qh = _split_heads(qp, p.num_heads).astype(jnp.int32)  # (H, Nq, d)
+    kh = _split_heads(kp, p.num_heads).astype(jnp.int32)  # (H, Nkv, d)
+    vh = _split_heads(vp, p.num_heads).astype(jnp.int32)
+
+    logits = jax.lax.dot_general(
+        qh, kh, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )  # (H, Nq, Nkv); NO 1/sqrt(d)
+    a_i8 = requant(logits, p.qk_mult, p.qk_shift, p.qk_add)
+    a_u8 = ita_integer_softmax(a_i8.astype(jnp.int32), axis=-1)
+
+    ctx = jax.lax.dot_general(
+        a_u8.astype(jnp.int32), vh, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )  # (H, Nq, d)
+    o_i8 = requant(ctx, p.av_mult, p.av_shift, p.av_add)
+
+    out = int_linear(_merge_heads(o_i8), p.o)  # (Nq, C) on s_o_out grid
+    final = requant(
+        out.astype(jnp.int32), p.final_mult, p.final_shift, p.final_add
+    )
+
+    stages: dict[str, jax.Array] = {}
+    if collect_stages:
+        stages = {
+            "Qp_requant": qp,
+            "Kp_requant": kp,
+            "Vp_requant": vp,
+            "A_requant": a_i8,
+            "A_partial_softmax": a_u8,
+            "O_soft_requant": _merge_heads(o_i8),
+            "Out_soft_requant": out,
+            "Final_requant": final,
+        }
+    return final, stages
+
+
+def vitfly_attention_f32(
+    x_q: jax.Array, x_kv: jax.Array, p: VitflyIntAttentionParams
+) -> jax.Array:
+    """Float-boundary wrapper for the vitfly integer attention: the
+    Quant/DeQuant bracket around the accelerator region (the analog of
+    ITASelfAttentionWrapper handing float tensors to
+    MultiheadITAWithRequant, reference export_model.py:164-182)."""
+    out, _ = vitfly_attention_int8(
+        quantize(x_q, p.s_q_in), quantize(x_kv, p.s_kv_in), p
+    )
+    return dequantize(out, p.s_out)
+
+
 def ita_attention_f32(
     x: jax.Array, p: IntAttentionParams, softmax_mode: str = "onepass"
 ) -> jax.Array:

@@ -203,11 +203,16 @@ def encoder_core(
     wo_ref, bo_ref,                                   # i8 (P,E) / i32 (1,E)
     w1_ref, b1_ref, w2_ref, b2_ref,                   # i8 (E,F),(F,E) / i32
     ln1_g_ref, ln1_b_ref, ln2_g_ref, ln2_b_ref,       # f32 (1,E)
+    heads: int = 1,  # static: attention heads (P split column-wise)
 ):
     """One quantized encoder layer on an (nb*S, E) f32 value; returns the
     (nb*S, E) f32 output. Shared by the standalone encoder-block kernel
     and the whole-model megakernel (model_kernel.py) — the weight/scalar
-    refs have identical layouts in both."""
+    refs have identical layouts in both.
+
+    ``heads``: H>1 splits the P projection columns into H independent
+    d=P/H attention heads (golden analog: integer_ita._split_heads) —
+    static unrolled, P=192 divides into MXU-friendly d in {192,96,64}."""
     # ---- quantized attention region ----
     s_attn_in = fscal_ref[0, _FS_ATTN_IN]
     x_i8 = _quantize(x, s_attn_in)
@@ -225,32 +230,44 @@ def encoder_core(
         iscal_ref[0, _IV_MULT], iscal_ref[0, _IV_SHIFT],
     )
 
-    # Attention is per-sequence: logits (S,S), integer softmax, AV.
+    # Attention is per-sequence and per-head: logits (S,S), integer
+    # softmax, AV — both loops static-unrolled (nb <= 8, heads <= 3).
+    d = qp.shape[1] // heads
     ctx_parts = []
     for i in range(nb):
         qp_i = qp[i * seq : (i + 1) * seq].astype(jnp.int8)   # (S, P)
         kp_i = kp[i * seq : (i + 1) * seq].astype(jnp.int8)
         vp_i = vp[i * seq : (i + 1) * seq]
-        # Logits: (S,P) x (S,P)^T -> (S,S); i32 accum; NO 1/sqrt(d).
-        logits = jax.lax.dot_general(
-            qp_i, kp_i, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        a_i8 = _requant(
-            logits, iscal_ref[0, _IQK_MULT], iscal_ref[0, _IQK_SHIFT]
-        )
-        if softmax_mode == "streaming":
-            a_u8 = _integer_softmax_streaming(a_i8)  # (S,S) i32 in [0,255]
-        else:
-            a_u8 = _integer_softmax(a_i8)
-        # AV matmul: the uint8 probabilities don't fit int8 and Mosaic has
-        # no mixed u8/i32 x i8 MXU path. Exact offset decomposition:
-        # a @ v == (a - 128) @ v + 128 * colsum(v), with (a-128) in i8.
-        av_acc = _int_dot(
-            (a_u8 - 128).astype(jnp.int8), vp_i.astype(jnp.int8)
-        ) + 128 * jnp.sum(vp_i, axis=0, keepdims=True)
+        head_parts = []
+        for hd in range(heads):
+            cols = slice(hd * d, (hd + 1) * d)
+            # Logits: (S,d) x (S,d)^T -> (S,S); i32 accum; NO 1/sqrt(d).
+            logits = jax.lax.dot_general(
+                qp_i[:, cols], kp_i[:, cols], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            a_i8 = _requant(
+                logits, iscal_ref[0, _IQK_MULT], iscal_ref[0, _IQK_SHIFT]
+            )
+            if softmax_mode == "streaming":
+                a_u8 = _integer_softmax_streaming(a_i8)  # (S,S) in [0,255]
+            else:
+                a_u8 = _integer_softmax(a_i8)
+            # AV matmul: the uint8 probabilities don't fit int8 and Mosaic
+            # has no mixed u8/i32 x i8 MXU path. Exact offset decomposition:
+            # a @ v == (a - 128) @ v + 128 * colsum(v), with (a-128) in i8.
+            v_h = vp_i[:, cols]
+            av_acc = _int_dot(
+                (a_u8 - 128).astype(jnp.int8), v_h.astype(jnp.int8)
+            ) + 128 * jnp.sum(v_h, axis=0, keepdims=True)
+            head_parts.append(
+                _requant(
+                    av_acc, iscal_ref[0, _IAV_MULT], iscal_ref[0, _IAV_SHIFT]
+                )
+            )
         ctx_parts.append(
-            _requant(av_acc, iscal_ref[0, _IAV_MULT], iscal_ref[0, _IAV_SHIFT])
+            head_parts[0] if heads == 1
+            else jnp.concatenate(head_parts, axis=1)
         )
     ctx = ctx_parts[0] if nb == 1 else jnp.concatenate(ctx_parts, axis=0)
 
@@ -291,6 +308,7 @@ def encoder_core_batched(
     wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
     wo_ref, bo_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     ln1_g_ref, ln1_b_ref, ln2_g_ref, ln2_b_ref,
+    heads: int = 1,
 ):
     """Throughput variant of encoder_core: identical integer arithmetic
     (same requant/softmax helpers), restructured so every stage runs
@@ -336,21 +354,26 @@ def encoder_core_batched(
 
     qp8 = qp.astype(i8)
     kp8 = kp.astype(i8)
-    logits = jnp.concatenate(
-        [
-            jax.lax.dot_general(
-                qp8[i * seq : (i + 1) * seq], kp8[i * seq : (i + 1) * seq],
-                (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32,
-            )  # (S, S); NO 1/sqrt(d)
-            for i in range(nb)
-        ],
-        axis=0,
-    )  # (nb*S, S)
+    d = qp.shape[1] // heads
+    hslices = [slice(hd * d, (hd + 1) * d) for hd in range(heads)]
+    logit_parts = [
+        jax.lax.dot_general(
+            qp8[i * seq : (i + 1) * seq, cols],
+            kp8[i * seq : (i + 1) * seq, cols],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32,
+        )  # (S, S); NO 1/sqrt(d)
+        for i in range(nb)
+        for cols in hslices
+    ]
+    logits = (
+        logit_parts[0] if len(logit_parts) == 1
+        else jnp.concatenate(logit_parts, axis=0)
+    )  # (nb*heads*S, S)
     a_i8 = _requant(
         logits, iscal_ref[0, _IQK_MULT], iscal_ref[0, _IQK_SHIFT]
     )
     if softmax_mode == "streaming":
-        a_u8 = _integer_softmax_streaming(a_i8)  # (nb*S, S) in [0,255]
+        a_u8 = _integer_softmax_streaming(a_i8)  # (nb*heads*S, S) in [0,255]
     else:
         a_u8 = _integer_softmax(a_i8)
     # AV with the exact offset decomposition (see encoder_core); the
@@ -360,21 +383,26 @@ def encoder_core_batched(
     half_av = _requant_half(s_av)
     p8 = (a_u8 - 128).astype(i8)
     vp8 = vp.astype(i8)
-    ctx = jnp.concatenate(
-        [
-            _requant_folded(
-                _int_dot(
-                    p8[i * seq : (i + 1) * seq], vp8[i * seq : (i + 1) * seq]
-                ),
-                128
-                * jnp.sum(vp[i * seq : (i + 1) * seq], axis=0, keepdims=True)
-                * m_av
-                + half_av,
-                m_av, s_av,
+
+    def _ctx_block(i):
+        """Context rows for sequence i: per-head AV, heads on columns."""
+        parts = []
+        for hd, cols in enumerate(hslices):
+            v_h = vp[i * seq : (i + 1) * seq, cols]
+            rows = slice((i * heads + hd) * seq, (i * heads + hd + 1) * seq)
+            parts.append(
+                _requant_folded(
+                    _int_dot(p8[rows], vp8[i * seq : (i + 1) * seq, cols]),
+                    128 * jnp.sum(v_h, axis=0, keepdims=True) * m_av
+                    + half_av,
+                    m_av, s_av,
+                )
             )
-            for i in range(nb)
-        ],
-        axis=0,
+        return parts[0] if heads == 1 else jnp.concatenate(parts, axis=1)
+
+    ctx = (
+        _ctx_block(0) if nb == 1
+        else jnp.concatenate([_ctx_block(i) for i in range(nb)], axis=0)
     )
 
     attn_out_i8 = _requant_folded(
@@ -412,6 +440,7 @@ def _encoder_block_kernel(
     softmax_mode,  # static (functools.partial): 'onepass' | 'streaming'
     nb,            # static: sequences per grid step
     seq,           # static: sequence length S
+    heads,         # static: attention heads
     transposed_io, # static: blocks arrive/leave as (nb, E, S) channel-first
     batched_core,  # static: use the batched-attention core (throughput)
     pre_ln,        # static: LayerNorm x in-kernel (turbo tokenizer fusion)
@@ -445,7 +474,9 @@ def _encoder_block_kernel(
         x = _layer_norm(x, png_ref[0], pnb_ref[0])
 
     core = encoder_core_batched if batched_core else encoder_core
-    out = core(x, softmax_mode, nb, seq, iscal_ref, fscal_ref, *w_refs)
+    out = core(
+        x, softmax_mode, nb, seq, iscal_ref, fscal_ref, *w_refs, heads=heads
+    )
     out = out.astype(out_ref.dtype)
     if transposed_io:
         out_ref[...] = jnp.transpose(out.reshape(nb, seq, e), (0, 2, 1))
@@ -478,9 +509,11 @@ def ita_encoder_block(
 
     Numerically identical to:
         h = LN(x + ita_attention_f32(x, attn)); LN(h + ita_ffn_f32(h, ffn))
-    (ops/integer_ita.py golden path; H=1 — multi-head layouts fall back to
-    the golden model upstream). ``softmax_mode='streaming'`` selects the
-    hardware's partial softmax (matches the golden path's same flag).
+    (ops/integer_ita.py golden path; H from attn.num_heads — head-split
+    layouts are static-unrolled column slices of the P projection, P=192
+    dividing into MXU-friendly d for H in {1,2,3}).
+    ``softmax_mode='streaming'`` selects the hardware's partial softmax
+    (matches the golden path's same flag).
 
     Throughput extras (the turbo path): ``pre_ln={'g','b'}`` fuses the
     tokenizer LayerNorm in-kernel (pass raw bf16 tokenizer tokens, half
@@ -490,11 +523,10 @@ def ita_encoder_block(
     """
     if softmax_mode not in ("onepass", "streaming"):
         raise ValueError(f"unknown softmax mode {softmax_mode!r}")
-    if attn.num_heads != 1:
-        raise NotImplementedError(
-            "the fused encoder kernel implements H=1 (every reference "
-            "config); use the jnp golden path (quant.int8_forward) for "
-            f"num_heads={attn.num_heads}"
+    heads = attn.num_heads
+    if attn.q.w.shape[1] % heads != 0:
+        raise ValueError(
+            f"P={attn.q.w.shape[1]} not divisible by H={heads}"
         )
     if transposed_io:
         b, e, s = x.shape
@@ -530,8 +562,8 @@ def ita_encoder_block(
     )
     return pl.pallas_call(
         functools.partial(
-            _encoder_block_kernel, softmax_mode, nb, s, transposed_io,
-            batched_core, pre_ln is not None,
+            _encoder_block_kernel, softmax_mode, nb, s, heads,
+            transposed_io, batched_core, pre_ln is not None,
         ),
         grid=(b // nb,),
         in_specs=[

@@ -463,12 +463,27 @@ class FleetEngine:
             row_of[client] = slot
         # Fresh .copy() arrays every tick: device_put of numpy can be
         # zero-copy on CPU, so JAX must get buffers nobody writes again.
-        cmds, self.state = self.step(
-            self.params, self.int_params, self.tail,
-            jnp.array(self._imgs.copy()), jnp.array(self._vel.copy()),
-            jnp.array(self._posx.copy()), jnp.array(self._quat.copy()),
-            jnp.array(active), self.state,
-        )
+        try:
+            cmds, self.state = self.step(
+                self.params, self.int_params, self.tail,
+                jnp.array(self._imgs.copy()), jnp.array(self._vel.copy()),
+                jnp.array(self._posx.copy()), jnp.array(self._quat.copy()),
+                jnp.array(active), self.state,
+            )
+        except Exception:
+            # The step donates self.state; if the step itself failed
+            # (device OOM, transient runtime error) the donated buffer
+            # may already be deleted, which would otherwise brick every
+            # later tick. Rebuild fresh state so the serve loops'
+            # drop-the-tick-and-keep-serving contract also covers step
+            # errors (ADVICE r3). In-flight LSTM state is lost — the
+            # same reset a reclaimed slot gets.
+            if any(
+                getattr(a, "is_deleted", lambda: False)()
+                for a in (self.state.h, self.state.c)
+            ):
+                self.state = M.zero_state(self.cfg, self.capacity)
+            raise
         self.frames += len(row_of)
         out = np.asarray(cmds)
         return {client: out[slot] for client, slot in row_of.items()}

@@ -57,6 +57,15 @@ def fleet_closed_loop_eval(
     if n > engine.capacity:
         raise ValueError(f"{n} drones > fleet capacity {engine.capacity}")
 
+    # Guard the wall-clock trap: with the FleetEngine default
+    # idle_reset_s=2.0, any >2 s gap between a drone's ticks (slow host
+    # render, CPU interpret mode, first-compile stall) silently reclaims
+    # its slot and zeroes its LSTM state mid-flight. A lockstep eval
+    # tolerates arbitrary gaps, so idle reclaim must never fire here:
+    # override for the duration and restore on exit.
+    saved_idle_reset_s = engine.idle_reset_s
+    engine.idle_reset_s = max(saved_idle_reset_s, reply_timeout_s * 2)
+
     # --- host-side sim step (jitted once; mirrors rollout_batch.tick) ---
     wtup = (
         (worlds.centers, worlds.radii)
@@ -91,10 +100,14 @@ def fleet_closed_loop_eval(
     serve = serve_udp_fleet_native if native else serve_udp_fleet
     stop = ctypes.c_int(0) if native else [0]
     port_out: list = []
-    th = threading.Thread(
-        target=serve, args=(engine, 0, stop), kwargs={"port_out": port_out},
-        daemon=True,
-    )
+    serve_rc: list = []  # the server's return value (native: -errno on a
+    # hard socket error) — captured so a dead server is diagnosable
+    # instead of surfacing only as per-drone TimeoutErrors (ADVICE r3).
+
+    def _serve_capture():
+        serve_rc.append(serve(engine, 0, stop, port_out=port_out))
+
+    th = threading.Thread(target=_serve_capture, daemon=True)
     th.start()
     deadline = time.monotonic() + reply_timeout_s
     while not port_out and time.monotonic() < deadline:
@@ -131,9 +144,30 @@ def fleet_closed_loop_eval(
             except socket.timeout:
                 if k + 1 < attempts:
                     socks[i].sendto(payload, ("127.0.0.1", port))
-        raise TimeoutError(
-            f"drone {i}: no reply after {attempts} attempts x {per_try:.0f}s"
+        server_state = (
+            f"server exited rc={serve_rc[0]}" if serve_rc
+            else "server thread still running"
         )
+        raise TimeoutError(
+            f"drone {i}: no reply after {attempts} attempts x "
+            f"{per_try:.0f}s ({server_state})"
+        )
+
+    def drain(i):
+        """Discard stale queued datagrams on drone i's socket. A resend
+        that crossed a merely-delayed (not lost) reply leaves a duplicate
+        queued; consuming it as the NEXT tick's reply would desynchronize
+        that drone's command stream by one tick for the rest of the
+        flight (ADVICE r3). The wire reply carries no sequence tag, so
+        correctness comes from draining before each new request."""
+        socks[i].setblocking(False)
+        try:
+            while True:
+                socks[i].recvfrom(64)
+        except (BlockingIOError, OSError):
+            pass
+        finally:
+            socks[i].setblocking(True)
 
     pos = np.tile(np.asarray([0.0, 0.0, wcfg.spawn_z], np.float32), (n, 1))
     vel = np.zeros((n, 3), np.float32)
@@ -159,6 +193,7 @@ def fleet_closed_loop_eval(
                 for i in active_idx
             }
             for i in active_idx:
+                drain(i)
                 socks[i].sendto(payloads[i], ("127.0.0.1", port))
             # First tick absorbs the server's compile; keep it generous.
             tick_timeout = reply_timeout_s if t == 0 else min(
@@ -188,6 +223,10 @@ def fleet_closed_loop_eval(
         for s in socks:
             s.close()
         th.join(timeout=10.0)
+        engine.idle_reset_s = saved_idle_reset_s
+        if serve_rc and isinstance(serve_rc[0], int) and serve_rc[0] < 0:
+            print(f"[fleet_eval] WARNING: native serve loop exited with "
+                  f"rc={serve_rc[0]} (-errno)")
 
     return {
         "success": np.isfinite(t_goal) & ~collided,
