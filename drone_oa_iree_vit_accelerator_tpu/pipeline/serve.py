@@ -45,18 +45,26 @@ def postprocess_velocity(
     return jnp.stack([vx_out, v[1], v[2]])
 
 
-def make_serving_step(cfg: ModelConfig, path: str = "pallas"):
+def make_serving_step(
+    cfg: ModelConfig, path: str = "pallas", softmax_mode: str = "onepass"
+):
     """Build the single-frame serving function.
 
     step(params, int_params, image_u8(60,90), vel, pos_x, quat(4,), state)
       -> (cmd(3,), state)
+
+    ``softmax_mode``: 'onepass' (default) or 'streaming' — the hardware's
+    ITA_N=16 partial softmax (the PyITA verification default, reference
+    tests/export_and_validation_W_B.py:527). Applies to the quantized
+    paths (int8 / pallas / pallas_bf16 / mega); float paths ignore it.
     """
     if path == "pallas":
         # Off-TPU the Pallas kernel runs in the interpreter (the analog of
         # the reference's x86 dummy-dispatch test build).
         interp = jax.default_backend() != "tpu"
         fwd = lambda cfg, p, ip, f, v, q, s: QZ.pallas_forward(
-            cfg, p, ip, f, v, q, s, interpret=interp
+            cfg, p, ip, f, v, q, s, interpret=interp,
+            softmax_mode=softmax_mode,
         )
     elif path == "pallas_bf16":
         # THE deployment configuration: int8 Pallas encoder + bf16 float
@@ -65,10 +73,13 @@ def make_serving_step(cfg: ModelConfig, path: str = "pallas"):
         # CMakeLists.txt:15-33 --iree-input-demote-f32-to-f16).
         interp = jax.default_backend() != "tpu"
         fwd = lambda cfg, p, ip, f, v, q, s: QZ.pallas_forward(
-            cfg, p, ip, f, v, q, s, interpret=interp, glue_dtype=jnp.bfloat16
+            cfg, p, ip, f, v, q, s, interpret=interp,
+            glue_dtype=jnp.bfloat16, softmax_mode=softmax_mode,
         )
     elif path == "int8":
-        fwd = QZ.int8_forward
+        fwd = lambda cfg, p, ip, f, v, q, s: QZ.int8_forward(
+            cfg, p, ip, f, v, q, s, softmax_mode=softmax_mode
+        )
     elif path == "f32":
         fwd = lambda cfg, p, ip, f, v, q, s: M.forward(cfg, p, f, v, q, s)
     elif path == "dummy":
@@ -105,14 +116,20 @@ def make_serving_step(cfg: ModelConfig, path: str = "pallas"):
             return to32(cmd), to32(st)
     elif path == "mega":
         # Whole-model megakernel: tokenizer in XLA, then ONE pallas_call
-        # for encoder+fusion+decoder+LSTM+head+postprocess
-        # (ops/pallas/model_kernel.py). The params slot carries the
-        # precomputed FlagshipKernelParams (make_flagship_kernel_params);
-        # the int_params slot is unused (already baked in).
+        # for encoder+fusion+decoder+LSTM+head+postprocess. The params
+        # slot carries the precomputed kernel-params pytree
+        # (make_flagship_kernel_params for the PXSHUFFLE_UPSAMPLE
+        # flagship, make_flatten_kernel_params for the three FLATTEN
+        # variants); the int_params slot is unused (already baked in).
+        from ..core.config import FusionKind
         from ..models import layers as L
-        from ..ops.pallas.model_kernel import flagship_fused_step
 
         interp = jax.default_backend() != "tpu"
+        flatten = cfg.fusion is FusionKind.FLATTEN
+        if flatten:
+            from ..ops.pallas.flatten_kernel import flatten_fused_step
+        else:
+            from ..ops.pallas.model_kernel import flagship_fused_step
 
         def mega_step(kp, _ip, image_u8, vel, pos_x, quat, state):
             frame = image_u8.astype(jnp.float32)[None, None, :, :] / 255.0
@@ -130,10 +147,19 @@ def make_serving_step(cfg: ModelConfig, path: str = "pallas"):
                 tokens, eye, (((1,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
             )
-            cmd, h, c = flagship_fused_step(
-                kp, tokens, vel, pos_x, quat[None, :],
-                state.h, state.c, interpret=interp,
-            )
+            if flatten:
+                cmd, h, c = flatten_fused_step(
+                    kp, tokens, vel, pos_x, quat[None, :],
+                    state.h, state.c, num_layers=cfg.num_layers,
+                    heads=cfg.H, interpret=interp,
+                    softmax_mode=softmax_mode,
+                )
+            else:
+                cmd, h, c = flagship_fused_step(
+                    kp, tokens, vel, pos_x, quat[None, :],
+                    state.h, state.c, interpret=interp,
+                    softmax_mode=softmax_mode,
+                )
             return cmd, M.LSTMState(h, c)
 
         return jax.jit(mega_step, donate_argnums=(6,))
@@ -150,6 +176,43 @@ def make_serving_step(cfg: ModelConfig, path: str = "pallas"):
 
     # Donate the LSTM state: it is consumed and replaced every frame, so
     # XLA can update it in place (no per-frame state copy).
+    return jax.jit(step, donate_argnums=(6,))
+
+
+def make_vitfly_serving_step(vcfg=None, path: str = "int8"):
+    """Single-frame serving step for the vitfly (upstream ITALSTM) family
+    — the serving counterpart of the reference's alt export path
+    (scripts/export_model.py CompiledITALSTM main/run_with_state entry
+    points, :261-283), with the same wire semantics as the ITA family.
+
+    step(params, vint_params, image_u8(60,90), vel, pos_x, quat, state)
+      -> (cmd(3,), state)
+
+    ``path``: 'int8' runs the true integer attention pipeline
+    (quant/vitfly_qat.py — the deployed configuration); 'f32' the float
+    EfficientSelfAttention model.
+    """
+    from ..models import vitfly as VF
+    from ..quant.vitfly_qat import vitfly_int8_forward
+
+    vcfg = vcfg or VF.VITFLY_LSTM
+    if path == "int8":
+        fwd = lambda p, vp, f, v, q, s: vitfly_int8_forward(
+            vcfg, p, vp, f, v, q, s
+        )
+    elif path == "f32":
+        fwd = lambda p, vp, f, v, q, s: VF.forward(vcfg, p, f, v, q, s)
+    else:
+        raise ValueError(path)
+
+    def step(params, vint_params, image_u8, vel, pos_x, quat, state):
+        frame = image_u8.astype(jnp.float32)[None, None, :, :] / 255.0
+        cmd, new_state = fwd(
+            params, vint_params, frame, vel[None, None], quat[None, :], state
+        )
+        out = postprocess_velocity(cmd[0], vel, pos_x)
+        return out, new_state
+
     return jax.jit(step, donate_argnums=(6,))
 
 
@@ -667,15 +730,22 @@ class ServingEngine:
         int_params: dict | None = None,
         path: str = "auto",
         checkpoint_dir: str | None = None,
+        softmax_mode: str = "onepass",
     ):
-        # "auto": the whole-model megakernel where the config supports it
-        # (the flagship shape), else the per-layer Pallas encoder path.
+        # "auto": the whole-model megakernel where a config-matching
+        # kernel exists — the flagship (model_kernel) or any FLATTEN
+        # variant (flatten_kernel) — else the per-layer Pallas path.
         if path == "auto":
-            path = "mega" if (
+            flagship_ok = (
                 cfg.num_layers == 1 and cfg.H == 1
                 and (cfg.S, cfg.E) == (128, 64)
                 and cfg.fusion.name == "PXSHUFFLE_UPSAMPLE"
-            ) else "pallas"
+            )
+            flatten_ok = (
+                cfg.fusion.name == "FLATTEN"
+                and (cfg.S * cfg.E) % 2048 == 0
+            )
+            path = "mega" if (flagship_ok or flatten_ok) else "pallas"
         self.cfg = cfg
         params, int_params = _resolve_params(
             cfg, params, int_params, checkpoint_dir
@@ -686,11 +756,28 @@ class ServingEngine:
         self.int_params = int_params
         if path == "mega":
             # The megakernel consumes one precomputed operand pytree in
-            # the params slot (weights bf16, fusion folded to matmuls).
-            from ..ops.pallas.model_kernel import make_flagship_kernel_params
+            # the params slot (weights int8/bf16, fusion folded to
+            # matmuls); the builder matches the config's fusion kind.
+            from ..core.config import FusionKind
 
-            self.params = make_flagship_kernel_params(cfg, params, int_params)
-        self.step = make_serving_step(cfg, path)
+            if cfg.fusion is FusionKind.FLATTEN:
+                from ..ops.pallas.flatten_kernel import (
+                    make_flatten_kernel_params,
+                )
+
+                self.params = make_flatten_kernel_params(
+                    cfg, params, int_params
+                )
+            else:
+                from ..ops.pallas.model_kernel import (
+                    make_flagship_kernel_params,
+                )
+
+                self.params = make_flagship_kernel_params(
+                    cfg, params, int_params
+                )
+        self.softmax_mode = softmax_mode
+        self.step = make_serving_step(cfg, path, softmax_mode=softmax_mode)
         self.state = M.zero_state(cfg, 1)
         self.frames = 0
 
