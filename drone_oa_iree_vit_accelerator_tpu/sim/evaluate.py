@@ -93,8 +93,13 @@ def evaluate(
     int_params: dict | None = None,
     wcfg: WorldConfig = WorldConfig(),
     out_yaml: str | None = None,
+    softmax_mode: str = "onepass",
 ) -> dict[str, Any]:
-    """Run N parallel closed-loop rollouts and aggregate."""
+    """Run N parallel closed-loop rollouts and aggregate.
+
+    ``softmax_mode='streaming'`` evaluates the hardware's ITA_N=16
+    partial softmax (PyITA's verification default) on the quantized
+    paths; 'onepass' is the single-pass integer softmax."""
     key = jax.random.PRNGKey(seed)
     if params is None and path != "expert":
         params = M.init_params(cfg, key)
@@ -119,7 +124,7 @@ def evaluate(
     run = jax.jit(
         lambda p, ip, w: rollout_batch(
             cfg, p, ip, w, wcfg=wcfg, steps=steps,
-            desired_vel=desired_vel, path=path,
+            desired_vel=desired_vel, path=path, softmax_mode=softmax_mode,
         )
     )
     result = jax.block_until_ready(run(params, int_params, worlds))
@@ -144,11 +149,13 @@ if __name__ == "__main__":
     )
     ap.add_argument("--out", default="evaluation.yaml")
     ap.add_argument("--backend", default=None)
+    ap.add_argument("--softmax-mode", default="onepass",
+                    choices=["onepass", "streaming"])
     args = ap.parse_args()
     if args.backend:
         jax.config.update("jax_platforms", args.backend)
     s = evaluate(
         args.rollouts, args.vel, args.steps, args.seed, args.path,
-        out_yaml=args.out,
+        out_yaml=args.out, softmax_mode=args.softmax_mode,
     )
     print(json.dumps({k: v for k, v in s.items() if k != "per_rollout"}))

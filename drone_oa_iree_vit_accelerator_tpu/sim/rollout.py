@@ -41,7 +41,7 @@ class RolloutResult(NamedTuple):
 
 
 def _policy_step(cfg, params, int_params, images_u8, vel_des, state, path,
-                 pos_x=None):
+                 pos_x=None, softmax_mode="onepass"):
     """Batched policy: (B,60,90) u8 -> (B,3) cmd; post-processing in-jit.
 
     Returns (cmd, new_state, postprocessed): for most paths ``cmd`` is
@@ -57,11 +57,12 @@ def _policy_step(cfg, params, int_params, images_u8, vel_des, state, path,
         interp = jax.default_backend() != "tpu"
         cmd, new_state = QZ.pallas_forward(
             cfg, params, int_params, frames, vel_des[:, None], quat, state,
-            interpret=interp,
+            interpret=interp, softmax_mode=softmax_mode,
         )
     elif path == "int8":
         cmd, new_state = QZ.int8_forward(
-            cfg, params, int_params, frames, vel_des[:, None], quat, state
+            cfg, params, int_params, frames, vel_des[:, None], quat, state,
+            softmax_mode=softmax_mode,
         )
     elif path == "turbo":
         # int_params slot: (int_params, TailMatrix) for the batched path.
@@ -71,7 +72,7 @@ def _policy_step(cfg, params, int_params, images_u8, vel_des, state, path,
         interp = jax.default_backend() != "tpu"
         cmd, new_state = turbo_forward(
             cfg, params, ip, tail, frames, vel_des[:, None], quat, state,
-            interpret=interp,
+            interpret=interp, softmax_mode=softmax_mode,
         )
     elif path == "mega":
         # The serving megakernel, exactly as deployed (batch-1 program):
@@ -82,10 +83,11 @@ def _policy_step(cfg, params, int_params, images_u8, vel_des, state, path,
         from ..models import layers as L
         from ..ops.pallas.model_kernel import flagship_fused_step
 
-        if jax.default_backend() != "tpu":  # interpret off-TPU
-            step1 = functools.partial(flagship_fused_step, interpret=True)
-        else:
-            step1 = flagship_fused_step
+        step1 = functools.partial(
+            flagship_fused_step,
+            interpret=jax.default_backend() != "tpu",  # interpret off-TPU
+            softmax_mode=softmax_mode,
+        )
         kp = params
         tokens = L.tokenizer_preln_nhwc(frames, kp.tok, cfg)  # (B, S, E)
         eye = jnp.eye(tokens.shape[-1], dtype=tokens.dtype)
@@ -125,6 +127,7 @@ def rollout_batch(
     steps: int = 1000,
     desired_vel: float = 5.0,
     path: str = "f32",
+    softmax_mode: str = "onepass",
 ) -> RolloutResult:
     """Roll out B drones, one per world, for ``steps`` control ticks.
 
@@ -171,7 +174,7 @@ def rollout_batch(
         else:
             cmd_raw, lstm_new, postprocessed = _policy_step(
                 cfg, params, int_params, images, vel_des, lstm, path,
-                pos_x=drone.pos[:, 0],
+                pos_x=drone.pos[:, 0], softmax_mode=softmax_mode,
             )
             if postprocessed:  # mega path postprocesses in-kernel
                 cmd = cmd_raw
