@@ -379,6 +379,11 @@ def main() -> None:
         trajs = trajs + new
         round_slices[k] = len(trajs)
 
+        # Built on both branches: the cached-params branch still records
+        # weighted_train_set in the history entry below (a seed-1 resume
+        # crashed here with train_set unbound).
+        train_set = near_weighted(trajs) if args.weighted_aggregate \
+            else trajs
         if pk_path.exists():
             params0 = M.init_params(CFG, jax.random.PRNGKey(0))
             rb = {"params": params_io.load_params(str(pk_path), params0)}
@@ -387,8 +392,6 @@ def main() -> None:
             epoch_hist = meta["epochs"]
             log(f"loaded round-{k} params")
         else:
-            train_set = near_weighted(trajs) if args.weighted_aggregate \
-                else trajs
             if args.retrain_scratch:
                 rb, epoch_hist = train_round(
                     k, train_set, args.epochs0, 3e-4, 3,
