@@ -1,0 +1,212 @@
+"""Deploy-grade comparison of the two integer softmax modes (TPU).
+
+The reference hardware's PyITA verification default is the ITA_N=16
+STREAMING partial softmax (reference tests/export_and_validation_W_B.py
+:527); the repo's deployed artifact has so far always run the ONEPASS
+single-pass integer softmax. VERDICT r3 item 4: evaluate the hardware-
+default mode end-to-end and make the shipped mode an explicit recorded
+choice.
+
+For the deployed checkpoint this script measures, per mode:
+  - held-out 64-world closed-loop success (seed disjoint from selection)
+    on the int8 golden path AND the deployed mega kernel path;
+  - batch-1 megakernel device latency (jax.profiler traces);
+  - batch-1024 turbo throughput.
+
+Writes docs/softmax_mode_report.json and records the shipped mode +
+rationale in checkpoints/policy_report.json.
+
+Run on the TPU:  python scripts/softmax_mode_eval.py
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from drone_oa_iree_vit_accelerator_tpu.core import (  # noqa: E402
+    ITA_SINGLE_LAYER_UPSAMPLE_SHUFFLE as CFG,
+)
+from drone_oa_iree_vit_accelerator_tpu.models import vit_lstm as M  # noqa: E402
+from drone_oa_iree_vit_accelerator_tpu.pipeline.serve import (  # noqa: E402
+    _resolve_params,
+    make_serving_step,
+)
+from drone_oa_iree_vit_accelerator_tpu.quant.batched import (  # noqa: E402
+    make_tail,
+    turbo_forward,
+)
+from drone_oa_iree_vit_accelerator_tpu.sim import evaluate as E  # noqa: E402
+from drone_oa_iree_vit_accelerator_tpu.sim.world import WorldConfig  # noqa: E402
+from drone_oa_iree_vit_accelerator_tpu.utils.device_timing import (  # noqa: E402
+    device_time_per_call,
+)
+
+HELDOUT_SEED = 990_000  # same held-out stream as policy_report.json
+REPO = pathlib.Path(__file__).resolve().parents[1]
+
+
+def bench_mega_b1(kp, mode: str) -> dict:
+    step = make_serving_step(CFG, "mega", softmax_mode=mode)
+    ncalls = 40
+
+    def margs():
+        vel = jnp.float32(4.0)
+        quat = jnp.asarray([1.0, 0, 0, 0], jnp.float32)
+        frames = [
+            jax.random.randint(jax.random.PRNGKey(30 + i), (60, 90),
+                               0, 256, jnp.uint8)
+            for i in range(ncalls + 1)
+        ]
+        jax.block_until_ready(frames)
+        px = jnp.float32(5.0)
+        return (
+            [(kp, None, frames[i + 1], vel, px, quat, M.zero_state(CFG, 1))
+             for i in range(ncalls)],
+            (kp, None, frames[0], vel, px, quat, M.zero_state(CFG, 1)),
+        )
+
+    a, warm = margs()
+    t = device_time_per_call(step, a, warmup_args=warm)
+    if t.n_executions < ncalls:
+        a, warm = margs()
+        t = device_time_per_call(step, a, warmup_args=warm, settle_s=3.0)
+    us = t.per_call_ms * 1e3
+    return {"device_us": round(us, 2), "fps": round(1e6 / us, 0)}
+
+
+def bench_turbo_b1024(params, int_params, tail, mode: str) -> dict:
+    b, ncalls = 1024, 10
+    f32 = jnp.float32
+
+    @jax.jit
+    def tstep(p, ip, frame_u8, vel, quat, s):
+        return turbo_forward(
+            CFG, p, ip, tail, frame_u8.astype(f32) / 255.0, vel, quat, s,
+            encoder="pallas", softmax_mode=mode,
+        )
+
+    def targs():
+        vel = jnp.ones((b, 1), f32)
+        quat = jnp.tile(jnp.asarray([[1.0, 0, 0, 0]], f32), (b, 1))
+        frames = [
+            jax.random.randint(jax.random.PRNGKey(50 + i), (b, 1, 60, 90),
+                               0, 256, jnp.uint8)
+            for i in range(ncalls + 1)
+        ]
+        jax.block_until_ready(frames)
+        st = M.zero_state(CFG, b)
+        return (
+            [(params, int_params, frames[i + 1], vel, quat, st)
+             for i in range(ncalls)],
+            (params, int_params, frames[0], vel, quat, st),
+        )
+
+    a, warm = targs()
+    t = device_time_per_call(tstep, a, warmup_args=warm)
+    if t.n_executions < ncalls:
+        a, warm = targs()
+        t = device_time_per_call(tstep, a, warmup_args=warm, settle_s=3.0)
+    ms = t.per_call_ms
+    return {"device_ms": round(ms, 4), "fps": round(b / ms * 1e3, 0)}
+
+
+def main() -> None:
+    t0 = time.time()
+
+    def log(msg):
+        print(f"[{time.time()-t0:7.0f}s] {msg}", flush=True)
+
+    params, int_params = _resolve_params(
+        CFG, None, None, str(REPO / "checkpoints")
+    )
+    from drone_oa_iree_vit_accelerator_tpu.ops.pallas.model_kernel import (
+        make_flagship_kernel_params,
+    )
+
+    frozen = M.freeze_for_inference(CFG, params)
+    kp = make_flagship_kernel_params(CFG, frozen, int_params)
+    tail = make_tail(CFG, params)
+    wcfg = WorldConfig()
+
+    report: dict = {"modes": {}}
+    for mode in ("onepass", "streaming"):
+        sec: dict = {}
+        for path in ("int8", "mega"):
+            p = kp if path == "mega" else params
+            s = E.evaluate(
+                n_rollouts=64, steps=2000, seed=HELDOUT_SEED, path=path,
+                params=p, int_params=int_params, wcfg=wcfg,
+                softmax_mode=mode,
+            )
+            s.pop("per_rollout")
+            sec[f"heldout64_{path}"] = s
+            log(f"{mode}/{path}: heldout success "
+                f"{s['success_rate']:.4f}")
+        sec["mega_b1"] = bench_mega_b1(kp, mode)
+        sec["turbo_b1024"] = bench_turbo_b1024(
+            frozen, int_params, tail, mode
+        )
+        log(f"{mode}: mega_b1 {sec['mega_b1']}, "
+            f"turbo_b1024 {sec['turbo_b1024']}")
+        report["modes"][mode] = sec
+
+    one, strm = report["modes"]["onepass"], report["modes"]["streaming"]
+    same_closed_loop = (
+        one["heldout64_mega"]["success_rate"]
+        == strm["heldout64_mega"]["success_rate"]
+    )
+    # Ship the hardware-default streaming mode unless it measurably LOSES
+    # closed-loop success; latency deltas are recorded either way.
+    shipped = (
+        "streaming"
+        if strm["heldout64_mega"]["success_rate"]
+        >= one["heldout64_mega"]["success_rate"]
+        else "onepass"
+    )
+    report.update(
+        device=jax.devices()[0].device_kind,
+        heldout_seed=HELDOUT_SEED,
+        shipped_mode=shipped,
+        rationale=(
+            "streaming is the hardware's PyITA verification default "
+            "(reference tests/export_and_validation_W_B.py:527); shipped "
+            "unless it loses held-out closed-loop success vs onepass "
+            f"(measured: streaming {strm['heldout64_mega']['success_rate']}"
+            f" vs onepass {one['heldout64_mega']['success_rate']}, "
+            f"mega_b1 {strm['mega_b1']['device_us']} vs "
+            f"{one['mega_b1']['device_us']} us)"
+        ),
+        closed_loop_identical=same_closed_loop,
+    )
+    (REPO / "docs" / "softmax_mode_report.json").write_text(
+        json.dumps(report, indent=1)
+    )
+
+    pr_path = REPO / "checkpoints" / "policy_report.json"
+    pr = json.loads(pr_path.read_text()) if pr_path.exists() else {}
+    pr["deployed_softmax_mode"] = {
+        "mode": shipped,
+        "rationale": report["rationale"],
+        "heldout64_success": {
+            m: report["modes"][m]["heldout64_mega"]["success_rate"]
+            for m in ("onepass", "streaming")
+        },
+        "mega_b1_device_us": {
+            m: report["modes"][m]["mega_b1"]["device_us"]
+            for m in ("onepass", "streaming")
+        },
+    }
+    pr_path.write_text(json.dumps(pr, indent=1))
+    log(f"shipped mode: {shipped}; report -> docs/softmax_mode_report.json")
+
+
+if __name__ == "__main__":
+    main()

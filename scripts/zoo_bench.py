@@ -62,9 +62,6 @@ def bench_config(name: str, cfg) -> dict:
         return step
 
     for kind, ncalls in (("f32", 40), ("pallas", 40)):
-        if kind == "pallas" and cfg.H != 1:
-            out[f"{kind}_b1"] = "n/a (H>1: kernel is H=1-only, golden path serves)"
-            continue
         step = b1_step(kind)
 
         def args():
@@ -90,6 +87,46 @@ def bench_config(name: str, cfg) -> dict:
         us = t.per_call_ms * 1e3
         out[f"{kind}_b1"] = {"device_us": round(us, 2),
                              "fps": round(1e6 / us, 0)}
+
+    # Whole-model megakernel serving step (the deployed batch-1 path):
+    # flagship -> model_kernel, FLATTEN variants -> flatten_kernel. The
+    # serving step includes the tokenizer + in-kernel postprocess, so
+    # this row is the true camera->command device time.
+    from drone_oa_iree_vit_accelerator_tpu.pipeline.aot import (
+        _make_kernel_params,
+    )
+    from drone_oa_iree_vit_accelerator_tpu.pipeline.serve import (
+        make_serving_step,
+    )
+
+    ncalls = 40
+    kp = _make_kernel_params(cfg, params, int_params)
+    mstep = make_serving_step(cfg, "mega")
+
+    def margs():
+        vel = jnp.float32(4.0)
+        quat = jnp.asarray([1.0, 0, 0, 0], f32)
+        frames = [
+            jax.random.randint(jax.random.PRNGKey(30 + i), (60, 90),
+                               0, 256, jnp.uint8)
+            for i in range(ncalls + 1)
+        ]
+        jax.block_until_ready(frames)
+        px = jnp.float32(5.0)
+        # Fresh state per call: the step donates its state argument.
+        return (
+            [(kp, None, frames[i + 1], vel, px, quat, M.zero_state(cfg, 1))
+             for i in range(ncalls)],
+            (kp, None, frames[0], vel, px, quat, M.zero_state(cfg, 1)),
+        )
+
+    a, warm = margs()
+    t = device_time_per_call(mstep, a, warmup_args=warm)
+    if t.n_executions < ncalls:
+        a, warm = margs()
+        t = device_time_per_call(mstep, a, warmup_args=warm, settle_s=3.0)
+    us = t.per_call_ms * 1e3
+    out["mega_b1"] = {"device_us": round(us, 2), "fps": round(1e6 / us, 0)}
 
     # Batched throughput at b1024 with the measured-best routing
     # (turbo/pallas for H==1 configs, turbo_int8 golden encoder for H>1
@@ -134,12 +171,64 @@ def bench_config(name: str, cfg) -> dict:
     return out
 
 
+def bench_vitfly() -> dict:
+    """Serving rows for the vitfly (upstream ITALSTM) family — the
+    reference's alt export path (scripts/export_model.py:132-158) now has
+    int8 + measured serving numbers like the ITA family (VERDICT r3
+    item 3)."""
+    from drone_oa_iree_vit_accelerator_tpu.models import vitfly as VF
+    from drone_oa_iree_vit_accelerator_tpu.pipeline.aot import (
+        _calibrate_vitfly,
+    )
+    from drone_oa_iree_vit_accelerator_tpu.pipeline.serve import (
+        make_vitfly_serving_step,
+    )
+
+    vcfg = VF.VITFLY_LSTM
+    key = jax.random.PRNGKey(0)
+    params = VF.init_params(vcfg, key)
+    vint = _calibrate_vitfly(params)
+    out = {"dims": "2-stage ITALSTM (spatial-reduction attn, H=2)"}
+    ncalls = 40
+    for kind in ("f32", "int8"):
+        step = make_vitfly_serving_step(vcfg, kind)
+
+        def vargs():
+            vel = jnp.float32(4.0)
+            quat = jnp.asarray([1.0, 0, 0, 0], jnp.float32)
+            frames = [
+                jax.random.randint(jax.random.PRNGKey(70 + i), (60, 90),
+                                   0, 256, jnp.uint8)
+                for i in range(ncalls + 1)
+            ]
+            jax.block_until_ready(frames)
+            px = jnp.float32(5.0)
+            return (
+                [(params, vint, frames[i + 1], vel, px, quat,
+                  M.zero_state(vcfg, 1)) for i in range(ncalls)],
+                (params, vint, frames[0], vel, px, quat,
+                 M.zero_state(vcfg, 1)),
+            )
+
+        a, warm = vargs()
+        t = device_time_per_call(step, a, warmup_args=warm)
+        if t.n_executions < ncalls:
+            a, warm = vargs()
+            t = device_time_per_call(step, a, warmup_args=warm, settle_s=3.0)
+        us = t.per_call_ms * 1e3
+        out[f"{kind}_b1"] = {"device_us": round(us, 2),
+                             "fps": round(1e6 / us, 0)}
+    return out
+
+
 def main() -> None:
     report = {"device": jax.devices()[0].device_kind,
               "timing_source": "jax.profiler device traces"}
     for name, cfg in MODEL_ZOO.items():
         print(f"benching {name} ...", flush=True)
         report[name] = bench_config(name, cfg)
+    print("benching vitfly_lstm ...", flush=True)
+    report["vitfly_lstm"] = bench_vitfly()
     out_path = pathlib.Path(__file__).resolve().parents[1] / "docs" / \
         "zoo_bench.json"
     out_path.write_text(json.dumps(report, indent=1))
