@@ -107,6 +107,17 @@ def _requant_folded(dot, cvec, mult, shift):
     return jnp.clip(out, -128, 127)
 
 
+def _requant_folded_i8(dot, cvec, mult, shift):
+    """_requant_folded emitting int8 directly — for stages whose only
+    consumer is an int8 MXU operand. Values are clipped to [-128, 127]
+    before the cast, so the narrowing is exact; emitting i8 in the same
+    sweep (instead of a separate .astype(i8) pass over the i32 result)
+    removes one full-width VPU pass + 3/4 of the write bandwidth per
+    stage on the VPU-bound batched kernel."""
+    out = (dot * mult + cvec) >> jnp.clip(shift, 0, 31)
+    return jnp.clip(out, -128, 127).astype(jnp.int8)
+
+
 def _quantize(x, scale):
     return jnp.clip(jnp.round(x / scale), -128, 127).astype(jnp.int8)
 
@@ -144,6 +155,82 @@ def _integer_softmax(a_i32: jax.Array) -> jax.Array:
     denom = jnp.maximum(jnp.sum(exp, axis=-1, keepdims=True), 1)
     inv = _floor_div_u25(_SOFTMAX_NUM, denom)
     return (exp * inv) >> 16  # uint8 range, kept i32 for the AV matmul
+
+
+def _integer_softmax_p8(a_i32: jax.Array) -> jax.Array:
+    """_integer_softmax emitting the AV matmul's offset-packed int8
+    operand directly: p8 = probs - 128 with probs in [0, 255], so the
+    subtraction and the i8 narrowing fuse into the softmax's final sweep
+    instead of costing a separate full-width pass over the (rows, S)
+    probability matrix (the batched kernel's largest intermediate).
+    Bit-identical to (_integer_softmax(a) - 128).astype(int8)."""
+    row_max = jnp.max(a_i32, axis=-1, keepdims=True)
+    diff = row_max - a_i32
+    exp = 256 >> jnp.minimum(diff, 31)
+    denom = jnp.maximum(jnp.sum(exp, axis=-1, keepdims=True), 1)
+    inv = _floor_div_u25(_SOFTMAX_NUM, denom)
+    return (((exp * inv) >> 16) - 128).astype(jnp.int8)
+
+
+def _integer_softmax_streaming_p8(
+    a_i32: jax.Array, width: int = 16
+) -> jax.Array:
+    """Offset-packed int8 variant of the streaming softmax (see
+    _integer_softmax_p8)."""
+    return (
+        _integer_softmax_streaming(a_i32, width) - 128
+    ).astype(jnp.int8)
+
+
+def _integer_softmax_T_p8(aT_i32: jax.Array) -> jax.Array:
+    """Onepass integer softmax on TRANSPOSED logits (keys on sublanes):
+    reductions run over axis 0 and the per-query stats live in (1, L)
+    rows. Bit-identical to _integer_softmax, transposed, offset-packed
+    int8 output (see _integer_softmax_p8)."""
+    col_max = jnp.max(aT_i32, axis=0, keepdims=True)
+    diff = col_max - aT_i32
+    exp = 256 >> jnp.minimum(diff, 31)
+    denom = jnp.maximum(jnp.sum(exp, axis=0, keepdims=True), 1)
+    inv = _floor_div_u25(_SOFTMAX_NUM, denom)
+    return (((exp * inv) >> 16) - 128).astype(jnp.int8)
+
+
+def _integer_softmax_streaming_T_p8(
+    aT_i32: jax.Array, width: int = 16
+) -> jax.Array:
+    """Streaming softmax on TRANSPOSED logits — the throughput layout.
+
+    The row-major streaming scan slices (rows, 16) column groups, which
+    runs the whole 8-step loop at 16/128 lane occupancy (measured:
+    5.4 ms of a 6.2 ms b1024 turbo call — 7x the onepass softmax's
+    cost). With keys on the SUBLANE axis (aT[j, q] = logits[q, j],
+    obtained for free by computing K @ Q^T instead of Q @ K^T), each
+    group step slices (16, L) ROW blocks: full 128-lane width, and the
+    running max / renormalized sum live in (1, L) rows. Identical
+    integer ops per element as _integer_softmax_streaming (the oracle's
+    PyITA semantics), just transposed; returns the offset-packed int8
+    operand for the dim-0-contracting AV matmul."""
+    s = aT_i32.shape[0]
+    cur_max = None
+    cur_sum = None
+    for g in range(s // width):
+        grp = aT_i32[g * width : (g + 1) * width, :]     # (16, L)
+        gmax = jnp.max(grp, axis=0, keepdims=True)       # (1, L)
+        if cur_max is None:
+            cur_max, cur_sum = gmax, jnp.zeros_like(gmax)
+        else:
+            new_max = jnp.maximum(cur_max, gmax)
+            cur_sum = cur_sum >> jnp.minimum(new_max - cur_max, 31)
+            cur_max = new_max
+        d = cur_max - grp
+        cur_sum = cur_sum + jnp.sum(
+            256 >> jnp.minimum(d, 31), axis=0, keepdims=True
+        )
+    denom = jnp.maximum(cur_sum, 1)
+    inv = _floor_div_u25(_SOFTMAX_NUM, denom)            # (1, L)
+    diff = cur_max - aT_i32
+    exp = 256 >> jnp.minimum(diff, 31)
+    return (((exp * inv) >> 16) - 128).astype(jnp.int8)  # (S, L) i8
 
 
 def _integer_softmax_streaming(a_i32: jax.Array, width: int = 16) -> jax.Array:
@@ -339,62 +426,77 @@ def encoder_core_batched(
     m_1, s_1 = iscal_ref[0, _IFC1_MULT], iscal_ref[0, _IFC1_SHIFT]
     m_2, s_2 = iscal_ref[0, _IFC2_MULT], iscal_ref[0, _IFC2_SHIFT]
 
-    qp = _requant_folded(
+    # Projection requants emit i8 in-sweep (_requant_folded_i8): their
+    # only consumers are int8 MXU operands, and the separate widening
+    # .astype(i8) passes were measurable on the VPU-bound batched path.
+    qp8 = _requant_folded_i8(
         _int_dot(x_i8, wq_ref[:]), bq_ref[0] * m_q + _requant_half(s_q),
         m_q, s_q,
     )
-    kp = _requant_folded(
+    kp8 = _requant_folded_i8(
         _int_dot(x_i8, wk_ref[:]), bk_ref[0] * m_k + _requant_half(s_k),
         m_k, s_k,
     )
-    vp = _requant_folded(
+    vp8 = _requant_folded_i8(
         _int_dot(x_i8, wv_ref[:]), bv_ref[0] * m_v + _requant_half(s_v),
         m_v, s_v,
     )
-
-    qp8 = qp.astype(i8)
-    kp8 = kp.astype(i8)
-    d = qp.shape[1] // heads
+    d = qp8.shape[1] // heads
     hslices = [slice(hd * d, (hd + 1) * d) for hd in range(heads)]
-    logit_parts = [
+    # Transposed-logits layout for BOTH modes: compute K @ Q^T (free —
+    # same MXU dot with swapped operands), run the softmax with the keys
+    # on SUBLANES, and contract the AV matmul on dim 0. Bit-identical
+    # probabilities. For streaming this is the difference between a
+    # 16/128-lane group scan and full-width row blocks (measured 6.20 ->
+    # 0.95 ms/call b1024); onepass gains the same cheap sublane
+    # reductions (measured 0.977 -> see docs/softmax_mode_report.json).
+    logitT_parts = [
         jax.lax.dot_general(
-            qp8[i * seq : (i + 1) * seq, cols],
             kp8[i * seq : (i + 1) * seq, cols],
+            qp8[i * seq : (i + 1) * seq, cols],
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32,
-        )  # (S, S); NO 1/sqrt(d)
+        )  # (S_keys, S_q); NO 1/sqrt(d)
         for i in range(nb)
         for cols in hslices
     ]
-    logits = (
-        logit_parts[0] if len(logit_parts) == 1
-        else jnp.concatenate(logit_parts, axis=0)
-    )  # (nb*heads*S, S)
-    a_i8 = _requant(
-        logits, iscal_ref[0, _IQK_MULT], iscal_ref[0, _IQK_SHIFT]
+    logitsT = (
+        logitT_parts[0] if len(logitT_parts) == 1
+        else jnp.concatenate(logitT_parts, axis=1)
+    )  # (S, nb*heads*S)
+    aT_i8 = _requant(
+        logitsT, iscal_ref[0, _IQK_MULT], iscal_ref[0, _IQK_SHIFT]
     )
     if softmax_mode == "streaming":
-        a_u8 = _integer_softmax_streaming(a_i8)  # (nb*heads*S, S) in [0,255]
+        p8T = _integer_softmax_streaming_T_p8(aT_i8)
     else:
-        a_u8 = _integer_softmax(a_i8)
+        p8T = _integer_softmax_T_p8(aT_i8)
+
+    def _attn_dot(i, hd, v_h):
+        cols2 = slice((i * heads + hd) * seq, (i * heads + hd + 1) * seq)
+        return jax.lax.dot_general(
+            p8T[:, cols2], v_h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
     # AV with the exact offset decomposition (see encoder_core); the
     # per-sequence 128*colsum(v) compensation folds into the requant
     # constant row ((K*m + half) — exact in i32, same bound argument).
     m_av, s_av = iscal_ref[0, _IAV_MULT], iscal_ref[0, _IAV_SHIFT]
     half_av = _requant_half(s_av)
-    p8 = (a_u8 - 128).astype(i8)
-    vp8 = vp.astype(i8)
 
     def _ctx_block(i):
         """Context rows for sequence i: per-head AV, heads on columns."""
         parts = []
         for hd, cols in enumerate(hslices):
-            v_h = vp[i * seq : (i + 1) * seq, cols]
-            rows = slice((i * heads + hd) * seq, (i * heads + hd + 1) * seq)
+            v_h = vp8[i * seq : (i + 1) * seq, cols]
             parts.append(
-                _requant_folded(
-                    _int_dot(p8[rows], vp8[i * seq : (i + 1) * seq, cols]),
-                    128 * jnp.sum(v_h, axis=0, keepdims=True) * m_av
-                    + half_av,
+                _requant_folded_i8(
+                    _attn_dot(i, hd, v_h),
+                    # colsum accumulates the i8 slice in i32 — exact,
+                    # max |sum| = S*127 << 2**31.
+                    128 * jnp.sum(
+                        v_h.astype(jnp.int32), axis=0, keepdims=True
+                    ) * m_av + half_av,
                     m_av, s_av,
                 )
             )
@@ -406,7 +508,7 @@ def encoder_core_batched(
     )
 
     attn_out_i8 = _requant_folded(
-        _int_dot(ctx.astype(i8), wo_ref[:]),
+        _int_dot(ctx, wo_ref[:]),
         bo_ref[0] * m_o + _requant_half(s_o), m_o, s_o,
     )
 
@@ -423,12 +525,13 @@ def encoder_core_batched(
         >> jnp.clip(s_1, 0, 31),
         0, 127,
     )
-    relu = _requant(
+    relu8 = _requant_folded_i8(
         ff1_relu,
+        _requant_half(iscal_ref[0, _IRELU_SHIFT]),
         iscal_ref[0, _IRELU_MULT], iscal_ref[0, _IRELU_SHIFT],
     )
     ff2 = _requant_folded(
-        _int_dot(relu.astype(i8), w2_ref[:]), b2_ref[0] * m_2 + _requant_half(s_2),
+        _int_dot(relu8, w2_ref[:]), b2_ref[0] * m_2 + _requant_half(s_2),
         m_2, s_2,
     )
 
