@@ -319,6 +319,10 @@ def encoder_core(
 
     # Attention is per-sequence and per-head: logits (S,S), integer
     # softmax, AV — both loops static-unrolled (nb <= 8, heads <= 3).
+    # TRANSPOSED layout (same as encoder_core_batched): K @ Q^T puts the
+    # softmax reduction axis (keys) on SUBLANES — for the streaming mode
+    # this turns the 8-step (S, 16) column-group scan into full-lane-
+    # width row blocks; bit-identical probabilities either way.
     d = qp.shape[1] // heads
     ctx_parts = []
     for i in range(nb):
@@ -328,24 +332,26 @@ def encoder_core(
         head_parts = []
         for hd in range(heads):
             cols = slice(hd * d, (hd + 1) * d)
-            # Logits: (S,d) x (S,d)^T -> (S,S); i32 accum; NO 1/sqrt(d).
-            logits = jax.lax.dot_general(
-                qp_i[:, cols], kp_i[:, cols], (((1,), (1,)), ((), ())),
+            # Transposed logits: (S_keys, S_q); i32 accum; NO 1/sqrt(d).
+            logitsT = jax.lax.dot_general(
+                kp_i[:, cols], qp_i[:, cols], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            a_i8 = _requant(
-                logits, iscal_ref[0, _IQK_MULT], iscal_ref[0, _IQK_SHIFT]
+            aT_i8 = _requant(
+                logitsT, iscal_ref[0, _IQK_MULT], iscal_ref[0, _IQK_SHIFT]
             )
+            # The uint8 probabilities don't fit int8 and Mosaic has no
+            # mixed u8/i32 x i8 MXU path; the softmax emits the exact
+            # offset decomposition's i8 operand directly:
+            # a @ v == (a - 128) @ v + 128 * colsum(v).
             if softmax_mode == "streaming":
-                a_u8 = _integer_softmax_streaming(a_i8)  # (S,S) in [0,255]
+                p8T = _integer_softmax_streaming_T_p8(aT_i8)
             else:
-                a_u8 = _integer_softmax(a_i8)
-            # AV matmul: the uint8 probabilities don't fit int8 and Mosaic
-            # has no mixed u8/i32 x i8 MXU path. Exact offset decomposition:
-            # a @ v == (a - 128) @ v + 128 * colsum(v), with (a-128) in i8.
+                p8T = _integer_softmax_T_p8(aT_i8)
             v_h = vp_i[:, cols]
-            av_acc = _int_dot(
-                (a_u8 - 128).astype(jnp.int8), v_h.astype(jnp.int8)
+            av_acc = jax.lax.dot_general(
+                p8T, v_h.astype(jnp.int8), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
             ) + 128 * jnp.sum(v_h, axis=0, keepdims=True)
             head_parts.append(
                 _requant(

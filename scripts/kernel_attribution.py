@@ -81,26 +81,30 @@ def _staged_core(x, stages, iscal_ref, fscal_ref,
                            bv_ref[0] * m_v + K._requant_half(s_v), m_v, s_v)
     if stages == 1:
         return (qp[:, :E] + kp[:, :E] + vp[:, :E]).astype(f32)
+    # Stages 2-4 mirror the TRANSPOSED-logits layout that ships
+    # (encoder_core_batched: K @ Q^T, keys on sublanes, dim-0 AV
+    # contraction) so the attribution matches the deployed kernel.
     qp8, kp8 = qp.astype(i8), kp.astype(i8)
-    logits = jnp.concatenate([
-        jax.lax.dot_general(qp8[i * S:(i + 1) * S], kp8[i * S:(i + 1) * S],
+    logitsT = jnp.concatenate([
+        jax.lax.dot_general(kp8[i * S:(i + 1) * S], qp8[i * S:(i + 1) * S],
                             (((1,), (1,)), ((), ())),
                             preferred_element_type=i32)
-        for i in range(NB)], axis=0)
-    a_i8 = K._requant(logits, iscal_ref[0, K._IQK_MULT],
-                      iscal_ref[0, K._IQK_SHIFT])
+        for i in range(NB)], axis=1)
+    aT_i8 = K._requant(logitsT, iscal_ref[0, K._IQK_MULT],
+                       iscal_ref[0, K._IQK_SHIFT])
     if stages == 2:
-        return (a_i8[:, :E] + vp[:, :E]).astype(f32)
-    a_u8 = K._integer_softmax(a_i8)
+        return (aT_i8[:, :E] + vp[:, :E]).astype(f32)
+    p8T = K._integer_softmax_T_p8(aT_i8)
     if stages == 3:
-        return (a_u8[:, :E] + vp[:, :E]).astype(f32)
+        return (p8T[:, :E].astype(i32) + vp[:, :E]).astype(f32)
     m_av, s_av = iscal_ref[0, K._IAV_MULT], iscal_ref[0, K._IAV_SHIFT]
     half_av = K._requant_half(s_av)
-    p8 = (a_u8 - 128).astype(i8)
     vp8 = vp.astype(i8)
     ctx = jnp.concatenate([
         K._requant_folded(
-            K._int_dot(p8[i * S:(i + 1) * S], vp8[i * S:(i + 1) * S]),
+            jax.lax.dot_general(
+                p8T[:, i * S:(i + 1) * S], vp8[i * S:(i + 1) * S],
+                (((0,), (0,)), ((), ())), preferred_element_type=i32),
             128 * jnp.sum(vp[i * S:(i + 1) * S], axis=0, keepdims=True)
             * m_av + half_av, m_av, s_av)
         for i in range(NB)], axis=0)
