@@ -93,10 +93,14 @@ def _staged_core(x, stages, iscal_ref, fscal_ref,
     aT_i8 = K._requant(logitsT, iscal_ref[0, K._IQK_MULT],
                        iscal_ref[0, K._IQK_SHIFT])
     if stages == 2:
-        return (aT_i8[:, :E] + vp[:, :E]).astype(f32)
+        # aT is (S, nb*S) — keep it live via a cheap (1, E) reduction
+        # broadcast into the (nb*S, E) output.
+        return (jnp.sum(aT_i8[:, :E], axis=0, keepdims=True)
+                + vp[:, :E]).astype(f32)
     p8T = K._integer_softmax_T_p8(aT_i8)
     if stages == 3:
-        return (p8T[:, :E].astype(i32) + vp[:, :E]).astype(f32)
+        return (jnp.sum(p8T[:, :E].astype(i32), axis=0, keepdims=True)
+                + vp[:, :E]).astype(f32)
     m_av, s_av = iscal_ref[0, K._IAV_MULT], iscal_ref[0, K._IAV_SHIFT]
     half_av = K._requant_half(s_av)
     vp8 = vp.astype(i8)
