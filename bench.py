@@ -317,6 +317,44 @@ def main() -> None:
             base_int_flops, kind in INT_PATHS,
         )
 
+    # The base shape's whole-model kernel (flatten_kernel — round 4):
+    # the fastest batch-1 path for every zoo config (docs/zoo_bench.json).
+    from drone_oa_iree_vit_accelerator_tpu.pipeline.aot import (
+        _make_kernel_params,
+    )
+
+    base_kp = _make_kernel_params(ITA_BASE, base_params, base_int)
+    base_mega = make_serving_step(ITA_BASE, "mega")
+
+    def base_mega_args(ncalls=40):
+        vel = jnp.float32(4.0)
+        quat = jnp.asarray([1.0, 0, 0, 0], jnp.float32)
+        imgs = [
+            jax.random.randint(jax.random.PRNGKey(7100 + i), (60, 90),
+                               0, 256, jnp.uint8)
+            for i in range(ncalls + 1)
+        ]
+        jax.block_until_ready(imgs)
+        px = jnp.float32(5.0)
+        return (
+            [(base_kp, None, imgs[i + 1], vel, px, quat,
+              M.zero_state(ITA_BASE, 1)) for i in range(ncalls)],
+            (base_kp, None, imgs[0], vel, px, quat,
+             M.zero_state(ITA_BASE, 1)),
+        )
+
+    bargs, bwarm = base_mega_args()
+    t = device_time_per_call(base_mega, bargs, warmup_args=bwarm)
+    if t.n_executions < 40:
+        bargs, bwarm = base_mega_args()
+        t = device_time_per_call(base_mega, bargs, warmup_args=bwarm,
+                                 settle_s=3.0)
+    base["mega_b1"] = path_metrics(
+        t, 1, base_flops_box[0] if base_flops_box else None,
+        base_int_flops, True,
+    )
+    traces["base_mega_b1"] = t
+
     # Fleet serving (round 3): K drones share the chip through one
     # batched program per tick (pipeline/serve.FleetEngine); the batch-1
     # fixed program overhead (~12 us, docs/kernel_attribution.json)
