@@ -247,6 +247,14 @@ def main() -> None:
                     help="stop after deploy selection (debug only: "
                     "scripts/dagger_aggregate.py requires every seed's "
                     "held-out block and refuses seeds run with this flag)")
+    ap.add_argument("--min-collect-frames", type=int, default=0,
+                    help="frame budget per DAgger round: keep collecting "
+                    "(fresh world batches, bounded at 4 extras) until the "
+                    "round's usable trajectories carry at least this many "
+                    "frames. Round-4 finding: drift-bounded truncation "
+                    "starves badly-drifting seeds (seed 2 collected ~1.9k "
+                    "frames/round vs seed 0's ~9k from the same 48-traj "
+                    "request), so equalize FRAMES, not trajectory count")
     args = ap.parse_args()
 
     global VAL_N, VAL_STEPS, HELD_N
@@ -367,10 +375,31 @@ def main() -> None:
                 max_drift_m=args.max_drift_m,
                 max_z_drift_m=args.max_z_drift_m,
             )
+            extra_batches = 0
+            if args.min_collect_frames:
+                # Frame budget: drift truncation can shrink a bad seed's
+                # round to a handful of 40-frame stubs; top up with fresh
+                # world batches until the budget (or the 4-extra cap).
+                while (sum(t.frames.shape[0] for t in new)
+                       < args.min_collect_frames and extra_batches < 4):
+                    extra_batches += 1
+                    new = new + DG.collect_policy_trajectories(
+                        CFG, best["params"], args.dagger_trajs, wcfg=WCFG,
+                        steps=steps,
+                        seed=world_seed0 + k + 10_000 * extra_batches,
+                        expert_mix=beta_k,
+                        max_drift_m=args.max_drift_m,
+                        max_z_drift_m=args.max_z_drift_m,
+                    )
             save_trajs(dk_path, new)
             col_meta = {"beta_mix": round(beta_k, 4),
                         "max_drift_m": args.max_drift_m,
                         "max_z_drift_m": args.max_z_drift_m,
+                        "min_collect_frames": args.min_collect_frames,
+                        "extra_collection_batches": extra_batches,
+                        "frames_collected": int(
+                            sum(t.frames.shape[0] for t in new)
+                        ),
                         "collected_by_round": best["round"]}
             json.dump(col_meta, open(meta_path, "w"))
             log(f"round {k}: collected {len(new)} usable trajs")
