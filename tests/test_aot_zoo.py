@@ -87,11 +87,27 @@ def test_zoo_config_aot_roundtrip(tmp_path, name):
             np.asarray(cmd_a), np.asarray(cmd_l), rtol=1e-6, atol=1e-6
         )
 
+    # Per-config compile statistics — the reference's per-model
+    # compilation_info snapshot (scripts/compile_flow_dummy_models.sh
+    # records pass/fail + stats per corpus model).
+    from drone_oa_iree_vit_accelerator_tpu.tools.compile_stats import (
+        compile_stats,
+    )
+
+    stats = compile_stats(
+        live, kp_live, None, _frames(1)[0], vel, jnp.float32(1.0),
+        quat, M.zero_state(cfg, 1),
+    )
     _record(name, {
         "path": "mega",
         "artifact_bytes": art.stat().st_size,
         "platforms": meta["platforms"],
         "parity": "bit-level vs live step, 2 frames state-threaded",
+        "compile_stats": {
+            k: stats[k]
+            for k in ("hlo_ops_total", "fusions", "custom_calls", "memory")
+            if k in stats
+        },
     })
 
 
