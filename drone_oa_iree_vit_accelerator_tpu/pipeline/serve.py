@@ -188,15 +188,22 @@ def make_vitfly_serving_step(vcfg=None, path: str = "int8"):
     step(params, vint_params, image_u8(60,90), vel, pos_x, quat, state)
       -> (cmd(3,), state)
 
-    ``path``: 'int8' runs the true integer attention pipeline
-    (quant/vitfly_qat.py — the deployed configuration); 'f32' the float
+    ``path``: 'pallas' runs the true integer attention pipeline with
+    each block as ONE fused Pallas kernel (the deployed configuration,
+    ops/pallas/vitfly_kernel.py); 'int8' the same integer arithmetic
+    through plain XLA ops (golden cross-check); 'f32' the float
     EfficientSelfAttention model.
     """
     from ..models import vitfly as VF
     from ..quant.vitfly_qat import vitfly_int8_forward
 
     vcfg = vcfg or VF.VITFLY_LSTM
-    if path == "int8":
+    if path == "pallas":
+        interp = jax.default_backend() != "tpu"
+        fwd = lambda p, vp, f, v, q, s: vitfly_int8_forward(
+            vcfg, p, vp, f, v, q, s, use_kernel=True, interpret=interp
+        )
+    elif path == "int8":
         fwd = lambda p, vp, f, v, q, s: vitfly_int8_forward(
             vcfg, p, vp, f, v, q, s
         )

@@ -258,15 +258,31 @@ def vitfly_int8_forward(
     vel: jax.Array,
     quat: jax.Array,
     state=None,
+    use_kernel: bool = False,
+    interpret: bool = False,
 ):
     """Full-model forward with the TRUE integer attention path (the
     deployment analog of the reference's exported ITALSTM). jit this
-    function directly with params AND vint_params as arguments."""
+    function directly with params AND vint_params as arguments.
 
-    def attn_fn(si, li, x, reduced):
-        p = vint_params["attn"][si][li]
-        return jax.vmap(lambda a, b: vitfly_attention_f32(a, b, p))(
-            x, reduced
-        )
+    ``use_kernel=True`` runs each attention block as ONE fused Pallas
+    kernel (ops/pallas/vitfly_kernel.py — the accelerator-region
+    dispatch boundary) instead of ~30 small XLA ops; bit-identical
+    (tests/test_vitfly_kernel.py). ``interpret`` runs that kernel in
+    the Pallas interpreter (CPU)."""
+    if use_kernel:
+        from ..ops.pallas.vitfly_kernel import vitfly_attention_block
+
+        def attn_fn(si, li, x, reduced):
+            return vitfly_attention_block(
+                x, reduced, vint_params["attn"][si][li],
+                interpret=interpret,
+            )
+    else:
+        def attn_fn(si, li, x, reduced):
+            p = vint_params["attn"][si][li]
+            return jax.vmap(lambda a, b: vitfly_attention_f32(a, b, p))(
+                x, reduced
+            )
 
     return VF.forward(cfg, params, frame, vel, quat, state, attn_fn=attn_fn)

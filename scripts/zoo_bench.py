@@ -188,9 +188,21 @@ def bench_vitfly() -> dict:
     key = jax.random.PRNGKey(0)
     params = VF.init_params(vcfg, key)
     vint = _calibrate_vitfly(params)
-    out = {"dims": "2-stage ITALSTM (spatial-reduction attn, H=2)"}
+    out = {
+        "dims": "2-stage ITALSTM (spatial-reduction attn, H=2)",
+        "note": (
+            "int8/pallas slower than f32 at b1: the quantized region's "
+            "cost is per-launch overhead, not arithmetic — the fused "
+            "per-block kernel (pallas) matches the XLA int8 path within "
+            "noise because 4 kernel launches x ~10 us fixed cost "
+            "dominate (same mechanism as mega_b1_floor's ~12 us fixed "
+            "overhead). The ITA family wins b1 only via the whole-model "
+            "megakernel; a vitfly megakernel is the corresponding "
+            "future cure."
+        ),
+    }
     ncalls = 40
-    for kind in ("f32", "int8"):
+    for kind in ("f32", "int8", "pallas"):
         step = make_vitfly_serving_step(vcfg, kind)
 
         def vargs():
