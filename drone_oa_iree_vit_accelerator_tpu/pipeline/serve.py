@@ -274,7 +274,9 @@ def make_fused_serving_step(cfg: ModelConfig):
     return jax.jit(step, donate_argnums=(6,))
 
 
-def make_batched_serving_step(cfg: ModelConfig, path: str = "auto"):
+def make_batched_serving_step(
+    cfg: ModelConfig, path: str = "auto", softmax_mode: str = "onepass"
+):
     """Batched camera->command serving step (throughput deployments —
     offline dataset replay, fleet-scale inference, sim rollouts).
 
@@ -295,10 +297,12 @@ def make_batched_serving_step(cfg: ModelConfig, path: str = "auto"):
     ``tail`` is the precomposed fusion+decoder matrix
     (quant.batched.make_tail) — build once per deployment.
     """
-    return _make_turbo_step(cfg, path, masked=False)
+    return _make_turbo_step(cfg, path, masked=False,
+                            softmax_mode=softmax_mode)
 
 
-def make_fleet_step(cfg: ModelConfig, path: str = "auto", mesh=None):
+def make_fleet_step(cfg: ModelConfig, path: str = "auto", mesh=None,
+                    softmax_mode: str = "onepass"):
     """Fixed-capacity fleet serving step: one batched program serves up
     to `capacity` concurrent drones, each row an independent client with
     its own LSTM-state slot.
@@ -319,10 +323,12 @@ def make_fleet_step(cfg: ModelConfig, path: str = "auto", mesh=None):
     traffic per tick (per-drone serving is embarrassingly parallel DP;
     params replicate). One UDP front-end then drives a pod slice.
     """
-    return _make_turbo_step(cfg, path, masked=True, mesh=mesh)
+    return _make_turbo_step(cfg, path, masked=True, mesh=mesh,
+                            softmax_mode=softmax_mode)
 
 
-def _make_turbo_step(cfg: ModelConfig, path: str, masked: bool, mesh=None):
+def _make_turbo_step(cfg: ModelConfig, path: str, masked: bool, mesh=None,
+                     softmax_mode: str = "onepass"):
     """Shared builder behind make_batched_serving_step (masked=False)
     and make_fleet_step (masked=True): one copy of the measured-best
     routing policy and the turbo step body; the fleet variant adds the
@@ -343,6 +349,7 @@ def _make_turbo_step(cfg: ModelConfig, path: str, masked: bool, mesh=None):
     def core(params, int_params, tail, frames_u8, vel, pos_x, quat, state):
         frames = frames_u8.astype(jnp.float32)[:, None, :, :] / 255.0
         kw = {"interpret": interp} if encoder == "pallas" else {}
+        kw["softmax_mode"] = softmax_mode
         cmd, new_state = turbo_forward(
             cfg, params, int_params, tail, frames, vel[:, None], quat,
             state, encoder=encoder, **kw,
@@ -421,6 +428,7 @@ class FleetEngine:
         checkpoint_dir: str | None = None,
         idle_reset_s: float = 2.0,
         mesh=None,
+        softmax_mode: str = "onepass",
     ):
         from ..quant.batched import make_tail
 
@@ -441,7 +449,9 @@ class FleetEngine:
         self.tail = make_tail(cfg, params)
         self.params = M.freeze_for_inference(cfg, params)
         self.int_params = int_params
-        self.step = make_fleet_step(cfg, path, mesh=mesh)
+        self.step = make_fleet_step(
+            cfg, path, mesh=mesh, softmax_mode=softmax_mode
+        )
         self.state = M.zero_state(cfg, capacity)
         self.slots: dict = {}       # client id -> slot index
         self.last_seen: dict = {}   # client id -> monotonic seconds

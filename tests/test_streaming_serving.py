@@ -104,6 +104,40 @@ def test_pallas_streaming_matches_int8_streaming_outcome(setup):
     np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
 
 
+def test_batched_and_fleet_builders_take_softmax_mode(setup):
+    """make_batched_serving_step / make_fleet_step accept softmax_mode
+    and produce a runnable program in streaming mode (the fleet/turbo
+    deployment surface — the last serving builder without the flag)."""
+    from drone_oa_iree_vit_accelerator_tpu.pipeline.serve import (
+        make_batched_serving_step,
+        make_fleet_step,
+    )
+    from drone_oa_iree_vit_accelerator_tpu.quant.batched import make_tail
+
+    params, int_params, _ = setup
+    tail = make_tail(CFG, params)
+    b = 2
+    frames = jax.random.randint(
+        jax.random.PRNGKey(8), (b, 60, 90), 0, 256, jnp.uint8
+    )
+    vel = jnp.full((b,), 4.0)
+    posx = jnp.full((b,), 3.0)
+    quat = jnp.tile(jnp.asarray([[1.0, 0, 0, 0]], jnp.float32), (b, 1))
+
+    bstep = make_batched_serving_step(CFG, softmax_mode="streaming")
+    cmds, _ = bstep(params, int_params, tail, frames, vel, posx, quat,
+                    M.zero_state(CFG, b))
+    assert cmds.shape == (b, 3) and bool(jnp.all(jnp.isfinite(cmds)))
+
+    fstep = make_fleet_step(CFG, softmax_mode="streaming")
+    active = jnp.ones((b,), bool)
+    fcmds, _ = fstep(params, int_params, tail, frames, vel, posx, quat,
+                     active, M.zero_state(CFG, b))
+    # Same math for active rows: fleet == batched.
+    np.testing.assert_allclose(np.asarray(fcmds), np.asarray(cmds),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_evaluate_threads_softmax_mode():
     """sim.evaluate(softmax_mode=...) runs and the mode changes
     per-rollout trajectories (closed-loop divergence is chaotic, so we
