@@ -66,6 +66,15 @@ PATHS = ("expert", "f32", "int8", "pallas")
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--softmax-mode", default="onepass",
+                    choices=["onepass", "streaming"],
+                    help="integer softmax mode for the quantized paths; "
+                    "'streaming' sweeps the SHIPPED hardware-default mode "
+                    "and writes envelope_sweep_streaming.json")
+    args = ap.parse_args()
     root = pathlib.Path(__file__).resolve().parents[1]
     ckpt = root / "checkpoints"
     key = jax.random.PRNGKey(0)
@@ -88,6 +97,7 @@ def main() -> None:
                 lambda p, ip, w, v, _wcfg=wcfg, _path=path: rollout_batch(
                     CFG, p, ip, w, wcfg=_wcfg, steps=STEPS,
                     desired_vel=v, path=_path,
+                    softmax_mode=args.softmax_mode,
                 )
             )
             for path in PATHS
@@ -127,14 +137,17 @@ def main() -> None:
         "seed": SWEEP_SEED,
         "paths": list(PATHS),
         "int8_pallas_identical_all_points": identity_all,
+        "softmax_mode": args.softmax_mode,
         "rows": rows,
         "note": "expert = scripted DAgger teacher (privileged world state)"
                 " — the per-point ceiling; deployed artifact = "
                 "checkpoints/model_{float,int8}.npz",
     }
-    with open(ckpt / "envelope_sweep.json", "w") as f:
+    fname = ("envelope_sweep.json" if args.softmax_mode == "onepass"
+             else "envelope_sweep_streaming.json")
+    with open(ckpt / fname, "w") as f:
         json.dump(out, f, indent=2)
-    print(f"done -> {ckpt}/envelope_sweep.json")
+    print(f"done -> {ckpt}/{fname}")
 
 
 if __name__ == "__main__":
