@@ -247,6 +247,15 @@ def main() -> None:
                     help="stop after deploy selection (debug only: "
                     "scripts/dagger_aggregate.py requires every seed's "
                     "held-out block and refuses seeds run with this flag)")
+    ap.add_argument("--collect-from", default="best",
+                    choices=["best", "latest"],
+                    help="which policy visits the states each round: "
+                    "'best' (default, the round-selection winner — the "
+                    "production recipe) or 'latest' (the previous round's "
+                    "trained policy regardless of val — classic DAgger "
+                    "pi_k, Ross et al. 2011; r4 probe arm: for seeds "
+                    "whose best stays round 0, 'best' re-collects the "
+                    "same visitation distribution every round)")
     ap.add_argument("--min-collect-frames", type=int, default=0,
                     help="frame budget per DAgger round: keep collecting "
                     "(fresh world batches, bounded at 4 extras) until the "
@@ -350,6 +359,7 @@ def main() -> None:
     })
     best.update(val_success=rb["success"], round=0, epoch=rb["epoch"],
                 params=rb["params"])
+    latest_params = rb["params"]  # pi_k for --collect-from latest
 
     # ---- DAgger rounds ----
     for k in range(1, args.rounds + 1):
@@ -368,8 +378,10 @@ def main() -> None:
         else:
             log(f"round {k}: collecting {args.dagger_trajs} on-policy trajs...")
             beta_k = args.beta0 * (0.5 ** (k - 1))
+            collector = (latest_params if args.collect_from == "latest"
+                         else best["params"])
             new = DG.collect_policy_trajectories(
-                CFG, best["params"], args.dagger_trajs, wcfg=WCFG,
+                CFG, collector, args.dagger_trajs, wcfg=WCFG,
                 steps=steps, seed=world_seed0 + k,
                 expert_mix=beta_k,
                 max_drift_m=args.max_drift_m,
@@ -384,7 +396,7 @@ def main() -> None:
                        < args.min_collect_frames and extra_batches < 4):
                     extra_batches += 1
                     new = new + DG.collect_policy_trajectories(
-                        CFG, best["params"], args.dagger_trajs, wcfg=WCFG,
+                        CFG, collector, args.dagger_trajs, wcfg=WCFG,
                         steps=steps,
                         seed=world_seed0 + k + 10_000 * extra_batches,
                         expert_mix=beta_k,
@@ -400,7 +412,11 @@ def main() -> None:
                         "frames_collected": int(
                             sum(t.frames.shape[0] for t in new)
                         ),
-                        "collected_by_round": best["round"]}
+                        "collect_from": args.collect_from,
+                        "collected_by_round": (
+                            k - 1 if args.collect_from == "latest"
+                            else best["round"]
+                        )}
             json.dump(col_meta, open(meta_path, "w"))
             log(f"round {k}: collected {len(new)} usable trajs")
         if args.chunk_frames:
@@ -446,6 +462,7 @@ def main() -> None:
         if args.weighted_aggregate:
             entry["weighted_train_set"] = data_stats(train_set)
         history.append(entry)
+        latest_params = rb["params"]
         if rb["success"] >= best["val_success"]:
             best.update(val_success=rb["success"], round=k,
                         epoch=rb["epoch"], params=rb["params"])
