@@ -1,0 +1,838 @@
+"""Whole-model Pallas megakernel for the vitfly (upstream ITALSTM)
+family: camera frame -> velocity command, ONE pallas_call (plus the
+stage-1 patch conv in XLA).
+
+Round-4 measurement (docs/zoo_bench.json): the per-block vitfly
+attention kernel (ops/pallas/vitfly_kernel.py) matched the XLA int8
+path within noise (121.4 vs 122.7 us b1) because 4 Pallas launches x
+~10 us fixed cost dominate a model this small — and the f32 spine
+itself (82.9 us) is bounded by op-count/HBM, not arithmetic (attention
+~18, MixFFN ~39, convs/tail ~36 us by device-trace attribution). The
+ITA family's megakernel (model_kernel.py) is the template: the only
+lever below ~50 us total is fusing EVERYTHING into one launch so the
+decoder/LSTM HBM streams pipeline behind compute.
+
+Everything after the stage-1 OverlapPatchMerge conv runs in TRANSPOSED
+orientation — channels on sublanes, the token grid on lanes — so every
+step is a small MXU matmul, a masked lane-shift, or a sublane
+reduction:
+
+    stage LN:        mean/var over the sublane (channel) axis
+    linears:         out^T = dot(W (in,out), x^T, contract dim0/dim0)
+    K/V reduce conv (non-overlapping r x r windows, the piece that
+    blocked a Mosaic-friendly whole-model kernel): a 3-matmul
+    "gather / cross-term / diagonal-extract" formulation
+        G = x^T @ SelWide            (C, M*r^2)   gather every tap
+        Q = Wstack @ G               (r^2*C, M*r^2) all (t', t) pairs
+        out^T = RowSel @ (Q * Mask) @ ColSel      keep t' == t
+    with SelWide/Mask/RowSel/ColSel 0/1 constants built offline —
+    ~17 M MACs of 64x redundancy, trivially MXU-tiled, zero gathers
+    stage-2 patch conv (k3 s2 p1): 9 taps of (x^T @ Sel_t) then
+        W_t @ ., all matmuls
+    depthwise 3x3:   9 masked lane-shifts x per-channel tap columns
+    attention:       the integer region of vitfly_attention_int8
+        (ops/integer_ita.py), transposed: logits^T = K^T-rows dot
+        Q^T-rows puts the softmax reduction on SUBLANES (the round-4
+        lane-occupancy lesson), AV contracts dim 0 with the exact
+        offset-packed int8 decomposition
+    fusion/decoder/LSTM: the flagship megakernel's transposed fusion
+        (pixel-shuffle/upsample as matmuls, conv taps as lane shifts)
+        and its grid-blocked decoder+LSTM pack, reused verbatim
+        (_lstm_head_postprocess) — the vitfly tail has the same
+        4608 -> 512 -> LSTM(128 x 3) -> 3 shape.
+
+Bit-exactness contract (tests/test_vitfly_model_kernel.py): the
+integer attention math is the same helper chain as the per-block
+kernel (bit-exact vs the golden vitfly_attention_int8 given the same
+int8 inputs); the float spine is reformulated (masked matmuls instead
+of XLA convs), so whole-model parity vs vitfly_int8_forward is at
+float-glue tolerance, and kernel-vs-mirror (interpret) is near-exact.
+
+Reference scope anchor: scripts/export_model.py:40-240 (ITALSTM
+stages/decode/LSTM), :119-162 (MultiheadITAWithRequant region),
+:164-182 (float reduce conv outside the quantized module).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...utils.image import _interp_matrix
+from ..integer_ita import VitflyIntAttentionParams
+from .ita_kernel import _integer_softmax_T_p8, _quantize, _requant
+from .model_kernel import (
+    _S_DEC,
+    _TAPS,
+    _WPACK_ROWS,
+    _lane_shift,
+    _lstm_head_postprocess,
+)
+from .vitfly_kernel import (
+    _AV_MULT,
+    _AV_SHIFT,
+    _F_MULT,
+    _F_SHIFT,
+    _FS_KV_IN,
+    _FS_OUT,
+    _FS_Q_IN,
+    _K_MULT,
+    _K_SHIFT,
+    _O_MULT,
+    _O_SHIFT,
+    _Q_MULT,
+    _Q_SHIFT,
+    _QK_MULT,
+    _QK_SHIFT,
+    _V_MULT,
+    _V_SHIFT,
+    N_ISCALARS,
+    pack_vitfly_scalars,
+)
+
+# VMEM const operands, in kernel-argument order (between the x1 input
+# and the blocked wpack). Mirror and kernel unpack by this list.
+_ENC_FIELDS = (
+    "pln1",
+    "selwide1", "mask1", "rowsel1", "colsel1", "dwmask1",
+    "wstack1", "redb1", "redln1", "wint1", "ibias1",
+    "w1s1", "b1s1", "dwt1", "dwb1", "w2s1", "b2s1", "lns1",
+    "sel2", "w2taps", "ppack2",
+    "selwide2", "mask2", "rowsel2", "colsel2", "dwmask2",
+    "wstack2", "redb2", "redln2", "wint2", "ibias2",
+    "w1s2", "b1s2", "dwt2", "dwb2", "w2s2", "b2s2", "lns2",
+    "gsel", "psel", "umat", "fktaps", "fmasks",
+)
+
+
+class VitflyStatic(NamedTuple):
+    """Static (hashable) geometry threaded through the shared math."""
+
+    hw1: tuple[int, int]    # stage-1 token grid (15, 23)
+    hw2: tuple[int, int]    # stage-2 token grid (8, 12)
+    heads: tuple[int, int]  # per-stage attention heads (1, 2)
+    fw: int                 # fusion grid width (24)
+
+
+class VitflyKernelParams(NamedTuple):
+    """Precomputed device arrays for the vitfly megakernel."""
+
+    tok: dict             # stage-1 patch conv params; runs in XLA
+    iscal: jax.Array      # (4, 16) i32 — per-block requant scalars
+    fscalb: jax.Array     # (4, 4) f32 — per-block quant scales
+    pln1: jax.Array       # (32, 2) f32 — stage-1 patch LN [g|b]
+    selwide1: jax.Array   # (345, 128) f32 — reduce-conv tap gather
+    mask1: jax.Array      # (2048, 128) f32 — cross-term mask
+    rowsel1: jax.Array    # (32, 2048) f32 — diagonal row-extract
+    colsel1: jax.Array    # (128, 2) f32 — tap-sum col-extract
+    dwmask1: jax.Array    # (16, 345) f32 — depthwise tap masks
+    wstack1: jax.Array    # (2, 2048, 32) f32 — reduce conv weights
+    redb1: jax.Array      # (32, 2) f32 — reduce conv bias per layer
+    redln1: jax.Array     # (32, 4) f32 — reduce LN [g0|b0|g1|b1]
+    wint1: jax.Array      # (2, 32, 128) i8 — [wq|wk|wv|wo]
+    ibias1: jax.Array     # (2, 32, 4) i32 — [bq|bk|bv|bo]
+    w1s1: jax.Array       # (2, 32, 256) f32 — MixFFN expand
+    b1s1: jax.Array       # (256, 2) f32
+    dwt1: jax.Array       # (2, 256, 16) f32 — depthwise taps on lanes
+    dwb1: jax.Array       # (256, 2) f32
+    w2s1: jax.Array       # (2, 256, 32) f32 — MixFFN project
+    b2s1: jax.Array       # (32, 2) f32
+    lns1: jax.Array       # (32, 4) f32 — block LN [g0|b0|g1|b1]
+    sel2: jax.Array       # (9, 345, 96) f32 — stage-2 patch conv taps
+    w2taps: jax.Array     # (9, 64, 32) f32
+    ppack2: jax.Array     # (64, 3) f32 — [bias | LN g | LN b]
+    selwide2: jax.Array   # (96, 96) f32
+    mask2: jax.Array      # (1024, 96) f32
+    rowsel2: jax.Array    # (64, 1024) f32
+    colsel2: jax.Array    # (96, 6) f32
+    dwmask2: jax.Array    # (16, 96) f32
+    wstack2: jax.Array    # (2, 1024, 64) f32
+    redb2: jax.Array      # (64, 2) f32
+    redln2: jax.Array     # (64, 4) f32
+    wint2: jax.Array      # (2, 64, 256) i8
+    ibias2: jax.Array     # (2, 64, 4) i32
+    w1s2: jax.Array       # (2, 64, 512) f32
+    b1s2: jax.Array       # (512, 2) f32
+    dwt2: jax.Array       # (2, 512, 16) f32
+    dwb2: jax.Array       # (512, 2) f32
+    w2s2: jax.Array       # (2, 512, 64) f32
+    b2s2: jax.Array       # (64, 2) f32
+    lns2: jax.Array       # (64, 4) f32
+    gsel: jax.Array       # (4, 16, 64) f32 — pixel-shuffle channels
+    psel: jax.Array       # (4, 96, 384) f32 — pixel-shuffle places
+    umat: jax.Array       # (345, 384) f32 — bilinear (align_corners=T)
+    fktaps: jax.Array     # (9, 12, 48) f32 — fusion conv taps
+    fmasks: jax.Array     # (9, 384) f32 — fusion conv boundary masks
+    wpack: jax.Array      # (4, 1536, 512) i8/bf16 — decoder + LSTM
+    wscale: jax.Array     # (8, 512) f32 — per-column dequant scales
+    bdec: jax.Array       # (1, 512) f32 — decoder bias + folded conv b
+    b0: jax.Array         # (1, 512) f32 — LSTM biases, folded
+    b1: jax.Array
+    b2: jax.Array
+    whead: jax.Array      # (128, 3) f32 — spectral norm baked
+    bhead: jax.Array      # (1, 3) f32
+
+
+def _static_from_cfg(cfg) -> tuple[VitflyStatic, tuple, tuple]:
+    """Derive the static geometry; raises on non-vitfly shapes."""
+    s1, s2 = cfg.stages
+    h0, w0 = cfg.img_hw
+    hw1 = ((h0 + 2 * s1.pad - s1.patch) // s1.stride + 1,
+           (w0 + 2 * s1.pad - s1.patch) // s1.stride + 1)
+    hw2 = ((hw1[0] + 2 * s2.pad - s2.patch) // s2.stride + 1,
+           (hw1[1] + 2 * s2.pad - s2.patch) // s2.stride + 1)
+    if (hw1, hw2) != ((15, 23), (8, 12)) or (s1.out_ch, s2.out_ch) != (32, 64):
+        raise NotImplementedError(
+            f"vitfly megakernel supports the upstream ITALSTM dims, got "
+            f"{cfg.name}: hw {hw1}/{hw2}, ch {s1.out_ch}/{s2.out_ch}"
+        )
+    return (
+        VitflyStatic(hw1, hw2, (s1.heads, s2.heads), 2 * hw2[1]),
+        (s1, hw1),
+        (s2, hw2),
+    )
+
+
+def _reduce_geometry(hw, r):
+    """0/1 constants of the 3-matmul reduce-conv formulation."""
+    hh, ww = hw
+    mh, mw = (hh - r) // r + 1, (ww - r) // r + 1
+    m, rr = mh * mw, r * r
+    selwide = np.zeros((hh * ww, m * rr), np.float32)
+    colsel = np.zeros((m * rr, m), np.float32)
+    for mi in range(mh):
+        for mj in range(mw):
+            pm = mi * mw + mj
+            for di in range(r):
+                for dj in range(r):
+                    t = di * r + dj
+                    selwide[(mi * r + di) * ww + (mj * r + dj),
+                            pm * rr + t] = 1.0
+                    colsel[pm * rr + t, pm] = 1.0
+    return selwide, colsel, m, rr
+
+
+def _reduce_masks(c, m, rr):
+    mask = np.zeros((rr * c, m * rr), np.float32)
+    rowsel = np.zeros((c, rr * c), np.float32)
+    for t in range(rr):
+        mask[t * c : (t + 1) * c, t::rr] = 1.0
+        rowsel[:, t * c : (t + 1) * c] = np.eye(c, dtype=np.float32)
+    return mask, rowsel
+
+
+def _dw_masks(hw) -> np.ndarray:
+    """(16, H*W) boundary masks for the 9 depthwise taps (rows 9..15 0)."""
+    hh, ww = hw
+    yy, xx = np.divmod(np.arange(hh * ww), ww)
+    out = np.zeros((16, hh * ww), np.float32)
+    for t, (dy, dx) in enumerate(_TAPS):
+        out[t] = (
+            (yy + dy >= 0) & (yy + dy < hh) & (xx + dx >= 0) & (xx + dx < ww)
+        )
+    return out
+
+
+def _col(x) -> np.ndarray:
+    return np.asarray(x, np.float32).reshape(-1, 1)
+
+
+def make_vitfly_kernel_params(
+    cfg, params, vint_params, glue_quant: str = "int8"
+) -> VitflyKernelParams:
+    """Precompute all megakernel operands from float + int8 params.
+
+    ``glue_quant`` follows make_flagship_kernel_params: 'int8' stores
+    the decoder/LSTM pack per-output-column symmetric int8 with the
+    dequant applied to each matmul result (half the dominant HBM
+    stream of a batch-1 step); 'bf16' plain demotion. Spectral norm
+    (decoder, fc2) is baked with stored u/v (eval semantics).
+    """
+    if glue_quant not in ("int8", "bf16"):
+        raise ValueError(glue_quant)
+    from ...models import layers as L
+
+    st, (s1, hw1), (s2, hw2) = _static_from_cfg(cfg)
+    fh, fw = cfg.fusion_hw
+    n1 = hw1[0] * hw1[1]
+
+    # ---- per-block requant scalars ----
+    blocks: list[VitflyIntAttentionParams] = [
+        vint_params["attn"][si][li] for si in range(2) for li in range(2)
+    ]
+    iscal = jnp.concatenate([pack_vitfly_scalars(b)[0] for b in blocks])
+    fscalb = jnp.concatenate([pack_vitfly_scalars(b)[1] for b in blocks])
+
+    def stage_pack(si, sc, hw):
+        sp = params["stages"][si]
+        c, f, r = sc.out_ch, sc.out_ch * sc.expansion, sc.reduction
+        selwide, colsel, m, rr = _reduce_geometry(hw, r)
+        mask, rowsel = _reduce_masks(c, m, rr)
+        wstack, redb, redln = [], [], []
+        wint, ibias = [], []
+        w1s, b1s, dwt, dwb, w2s, b2s, lns = [], [], [], [], [], [], []
+        for li, lp in enumerate(sp["layers"]):
+            rc = np.asarray(lp["attn"]["reduce_conv"]["w"], np.float32)
+            # rows (t, co), cols ci — t = di*r + dj
+            wstack.append(rc.transpose(2, 3, 0, 1).reshape(rr * c, c))
+            redb.append(_col(lp["attn"]["reduce_conv"]["b"]))
+            redln.append(np.concatenate(
+                [_col(lp["attn"]["reduce_ln"]["g"]),
+                 _col(lp["attn"]["reduce_ln"]["b"])], axis=1))
+            bi = si * 2 + li
+            p = blocks[bi]
+            wint.append(np.concatenate(
+                [np.asarray(w, np.int8) for w in
+                 (p.q.w, p.k.w, p.v.w, p.o.w)], axis=1))
+            ibias.append(np.stack(
+                [np.asarray(b, np.int32) for b in
+                 (p.q.b, p.k.b, p.v.b, p.o.b)], axis=1))
+            w1s.append(np.asarray(lp["ffn"]["mlp1"]["w"], np.float32))
+            b1s.append(_col(lp["ffn"]["mlp1"]["b"]))
+            dwk = np.asarray(lp["ffn"]["dw"]["w"], np.float32)  # (F,1,3,3)
+            dwt_l = np.zeros((f, 16), np.float32)
+            for t, (dy, dx) in enumerate(_TAPS):
+                dwt_l[:, t] = dwk[:, 0, dy + 1, dx + 1]
+            dwt.append(dwt_l)
+            dwb.append(_col(lp["ffn"]["dw"]["b"]))
+            w2s.append(np.asarray(lp["ffn"]["mlp2"]["w"], np.float32))
+            b2s.append(_col(lp["ffn"]["mlp2"]["b"]))
+            lns.append(np.concatenate(
+                [_col(lp["ln"]["g"]), _col(lp["ln"]["b"])], axis=1))
+        return dict(
+            selwide=selwide, mask=mask, rowsel=rowsel, colsel=colsel,
+            dwmask=_dw_masks(hw),
+            wstack=np.stack(wstack), redb=np.concatenate(redb, axis=1),
+            redln=np.concatenate(redln, axis=1),
+            wint=np.stack(wint), ibias=np.stack(ibias),
+            w1s=np.stack(w1s), b1s=np.concatenate(b1s, axis=1),
+            dwt=np.stack(dwt), dwb=np.concatenate(dwb, axis=1),
+            w2s=np.stack(w2s), b2s=np.concatenate(b2s, axis=1),
+            lns=np.concatenate(lns, axis=1),
+        )
+
+    g1 = stage_pack(0, s1, hw1)
+    g2 = stage_pack(1, s2, hw2)
+
+    # ---- stage-2 patch conv as 9 gather+tap matmuls ----
+    h1, w1 = hw1
+    h2, w2 = hw2
+    pc2 = np.asarray(params["stages"][1]["patch_conv"]["w"], np.float32)
+    sel2 = np.zeros((9, h1 * w1, h2 * w2), np.float32)
+    w2taps = np.zeros((9, s2.out_ch, s1.out_ch), np.float32)
+    for t, (dy, dx) in enumerate(_TAPS):
+        w2taps[t] = pc2[:, :, dy + 1, dx + 1]
+        for oy in range(h2):
+            for ox in range(w2):
+                sy, sx = 2 * oy - 1 + dy, 2 * ox - 1 + dx
+                if 0 <= sy < h1 and 0 <= sx < w1:
+                    sel2[t, sy * w1 + sx, oy * w2 + ox] = 1.0
+    ppack2 = np.concatenate(
+        [_col(params["stages"][1]["patch_conv"]["b"]),
+         _col(params["stages"][1]["patch_ln"]["g"]),
+         _col(params["stages"][1]["patch_ln"]["b"])], axis=1)
+
+    # ---- fusion: pixel shuffle + upsample + 3x3 conv constants ----
+    e2 = s2.out_ch
+    gsel = np.zeros((4, e2 // 4, e2), np.float32)
+    psel = np.zeros((4, h2 * w2, fh * fw), np.float32)
+    for off, (dy, dx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        for co in range(e2 // 4):
+            gsel[off, co, co * 4 + off] = 1.0
+        for hh in range(h2):
+            for ww in range(w2):
+                psel[off, hh * w2 + ww, (2 * hh + dy) * fw + (2 * ww + dx)] = 1.0
+    mh = np.asarray(_interp_matrix(h1, fh, True))
+    mw = np.asarray(_interp_matrix(w1, fw, True))
+    umat = np.einsum("Hh,Ww->hwHW", mh, mw).reshape(n1, fh * fw)
+
+    nchan = cfg.fusion_out_channels  # 12
+    fcin = e2 // 4 + s1.out_ch       # 48
+    cw = np.asarray(params["fusion_conv"]["w"], np.float32)  # (12, 48, 3, 3)
+    fcb = np.asarray(params["fusion_conv"]["b"], np.float32)
+    fktaps = np.stack([cw[:, :, dy + 1, dx + 1] for dy, dx in _TAPS])
+    yy, xx = np.divmod(np.arange(fh * fw), fw)
+    fmasks = np.stack([
+        ((yy + dy >= 0) & (yy + dy < fh) & (xx + dx >= 0) & (xx + dx < fw))
+        for dy, dx in _TAPS
+    ]).astype(np.float32)
+
+    # ---- decoder + LSTM pack (flagship layout; same tail dims) ----
+    dec = params["decoder"]
+    dec_w = np.asarray(
+        L.spectral_norm_weight(dec["w"], dec["u"], dec["v"])[0], np.float32
+    )  # (4608, 512), spectral norm baked (eval semantics)
+    dout = cfg.decoder_out
+    plane = fh * fw  # 384
+    wdec = dec_w.reshape(nchan, plane, dout)
+    bdec = (
+        np.asarray(dec["b"], np.float32) + np.einsum("c,chd->d", fcb, wdec)
+    )[None, :]
+
+    lstm = params["lstm"]
+    w_ih0 = np.asarray(lstm[0]["w_ih"], np.float32)  # (517, 512)
+    from .model_kernel import (
+        _L_HH0, _L_HH1, _L_HH2, _L_IH0A, _L_IH0B, _L_IH1, _L_IH2,
+        _S_HH0, _S_HH1, _S_HH2, _S_IH0A, _S_IH0B, _S_IH1, _S_IH2,
+    )
+    wpack = np.zeros((4, _WPACK_ROWS, dout), np.float32)
+    for g in range(3):
+        wpack[g] = wdec[4 * g : 4 * g + 4].reshape(_WPACK_ROWS, dout)
+    wpack[3, _L_IH0A:_L_IH0A + 512] = w_ih0[:dout]
+    wpack[3, _L_HH0:_L_HH0 + 128] = np.asarray(lstm[0]["w_hh"], np.float32)
+    wpack[3, _L_IH1:_L_IH1 + 128] = np.asarray(lstm[1]["w_ih"], np.float32)
+    wpack[3, _L_HH1:_L_HH1 + 128] = np.asarray(lstm[1]["w_hh"], np.float32)
+    wpack[3, _L_IH2:_L_IH2 + 128] = np.asarray(lstm[2]["w_ih"], np.float32)
+    wpack[3, _L_HH2:_L_HH2 + 128] = np.asarray(lstm[2]["w_hh"], np.float32)
+    wpack[3, _L_IH0B:_L_IH0B + 5] = w_ih0[dout:]
+
+    pieces = (
+        (_S_IH0A, _L_IH0A, 512), (_S_IH0B, _L_IH0B, 5), (_S_HH0, _L_HH0, 128),
+        (_S_IH1, _L_IH1, 128), (_S_HH1, _L_HH1, 128),
+        (_S_IH2, _L_IH2, 128), (_S_HH2, _L_HH2, 128),
+    )
+    wscale = np.ones((8, dout), np.float32)
+    if glue_quant == "int8":
+        def colq(w):
+            s = np.maximum(np.abs(w).max(axis=0), 1e-12) / 127.0
+            return np.clip(np.rint(w / s), -127, 127), s
+
+        dec_full = np.concatenate([wpack[g] for g in range(3)], axis=0)
+        q, s = colq(dec_full)
+        wscale[_S_DEC] = s
+        for g in range(3):
+            wpack[g] = q[g * _WPACK_ROWS : (g + 1) * _WPACK_ROWS]
+        for srow, r0, nrows in pieces:
+            q, s = colq(wpack[3, r0 : r0 + nrows])
+            wscale[srow] = s
+            wpack[3, r0 : r0 + nrows] = q
+        wpack_dev = jnp.asarray(wpack, jnp.int8)
+    else:
+        wpack_dev = jnp.asarray(wpack, jnp.bfloat16)
+
+    head = params["fc2"]
+    whead = np.asarray(
+        L.spectral_norm_weight(head["w"], head["u"], head["v"])[0], np.float32
+    )
+
+    pln1 = np.concatenate(
+        [_col(params["stages"][0]["patch_ln"]["g"]),
+         _col(params["stages"][0]["patch_ln"]["b"])], axis=1)
+
+    j = jnp.asarray
+    return VitflyKernelParams(
+        tok=jax.tree_util.tree_map(
+            jnp.asarray, params["stages"][0]["patch_conv"]
+        ),
+        iscal=iscal, fscalb=fscalb, pln1=j(pln1),
+        selwide1=j(g1["selwide"]), mask1=j(g1["mask"]),
+        rowsel1=j(g1["rowsel"]), colsel1=j(g1["colsel"]),
+        dwmask1=j(g1["dwmask"]),
+        wstack1=j(g1["wstack"]), redb1=j(g1["redb"]), redln1=j(g1["redln"]),
+        wint1=j(g1["wint"]), ibias1=j(g1["ibias"]),
+        w1s1=j(g1["w1s"]), b1s1=j(g1["b1s"]), dwt1=j(g1["dwt"]),
+        dwb1=j(g1["dwb"]), w2s1=j(g1["w2s"]), b2s1=j(g1["b2s"]),
+        lns1=j(g1["lns"]),
+        sel2=j(sel2), w2taps=j(w2taps), ppack2=j(ppack2),
+        selwide2=j(g2["selwide"]), mask2=j(g2["mask"]),
+        rowsel2=j(g2["rowsel"]), colsel2=j(g2["colsel"]),
+        dwmask2=j(g2["dwmask"]),
+        wstack2=j(g2["wstack"]), redb2=j(g2["redb"]), redln2=j(g2["redln"]),
+        wint2=j(g2["wint"]), ibias2=j(g2["ibias"]),
+        w1s2=j(g2["w1s"]), b1s2=j(g2["b1s"]), dwt2=j(g2["dwt"]),
+        dwb2=j(g2["dwb"]), w2s2=j(g2["w2s"]), b2s2=j(g2["b2s"]),
+        lns2=j(g2["lns"]),
+        gsel=j(gsel), psel=j(psel), umat=j(umat),
+        fktaps=j(fktaps), fmasks=j(fmasks),
+        wpack=wpack_dev, wscale=j(wscale), bdec=j(bdec),
+        b0=j(np.asarray(lstm[0]["b_ih"] + lstm[0]["b_hh"], np.float32))[None, :],
+        b1=j(np.asarray(lstm[1]["b_ih"] + lstm[1]["b_hh"], np.float32))[None, :],
+        b2=j(np.asarray(lstm[2]["b_ih"] + lstm[2]["b_hh"], np.float32))[None, :],
+        whead=j(whead),
+        bhead=j(np.asarray(head["b"], np.float32))[None, :],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared math (plain functions of VALUES: the kernel loads refs and calls
+# these; the mirror calls them on the kp arrays directly).
+# ---------------------------------------------------------------------------
+
+
+def _dot(a, b, dims=(((1,), (0,)), ((), ()))):
+    return jax.lax.dot_general(
+        a, b, dims, preferred_element_type=jnp.float32
+    )
+
+
+def _dot_t(a, b):
+    """Contract dim 0 of both: out[i, j] = sum_k a[k, i] * b[k, j]."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _ln_t(x, g, b, eps=1e-5):
+    """LayerNorm over the CHANNEL (sublane) axis of a (C, N) value."""
+    mu = jnp.mean(x, axis=0, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=0, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * g + b
+
+
+def _reduce_conv_t(xt, selwide, wstack, mask, rowsel, colsel, bias, g, b):
+    """K/V reduce conv + LN, transposed: (C, N) -> (C, M).
+
+    The non-overlapping r x r conv as 3 matmuls + one elementwise mask
+    (see module docstring): gather every (patch, tap) column, form all
+    (t', t) weight/input pairs on the MXU, keep the diagonal.
+    """
+    gwide = _dot(xt, selwide)                 # (C, M*rr)
+    q = _dot(wstack, gwide)                   # (rr*C, M*rr)
+    tmp = _dot(rowsel, q * mask)              # (C, M*rr)
+    out = _dot(tmp, colsel) + bias            # (C, M)
+    return _ln_t(out, g, b)
+
+
+def _attn_block_t(xt, redt, w4, b4, iscal, fscalb, bi, heads):
+    """The quantized vitfly attention region, transposed: (C, N) f32 ->
+    (C, N) f32. Bit-exact integer chain of vitfly_attention_int8 (same
+    requant/softmax helpers); logits^T puts the softmax reduction on
+    sublanes, AV uses the exact offset-packed int8 decomposition."""
+    i8, i32 = jnp.int8, jnp.int32
+    c = xt.shape[0]
+    xq8 = _quantize(xt, fscalb[bi, _FS_Q_IN])
+    xkv8 = _quantize(redt, fscalb[bi, _FS_KV_IN])
+
+    def proj(x8, j, mult, shift):
+        acc = jax.lax.dot_general(
+            w4[:, j * c : (j + 1) * c], x8,
+            (((0,), (0,)), ((), ())), preferred_element_type=i32,
+        )
+        return _requant(acc + b4[:, j : j + 1], mult, shift)
+
+    qp = proj(xq8, 0, iscal[bi, _Q_MULT], iscal[bi, _Q_SHIFT])
+    kp = proj(xkv8, 1, iscal[bi, _K_MULT], iscal[bi, _K_SHIFT])
+    vp = proj(xkv8, 2, iscal[bi, _V_MULT], iscal[bi, _V_SHIFT])
+
+    d = c // heads
+    parts = []
+    for hd in range(heads):
+        rs = slice(hd * d, (hd + 1) * d)
+        # (M, N) = K-rows . Q-rows, keys on SUBLANES; i32; NO 1/sqrt(d).
+        logits_t = jax.lax.dot_general(
+            kp[rs].astype(i8), qp[rs].astype(i8),
+            (((0,), (0,)), ((), ())), preferred_element_type=i32,
+        )
+        at = _requant(logits_t, iscal[bi, _QK_MULT], iscal[bi, _QK_SHIFT])
+        p8t = _integer_softmax_T_p8(at)       # (M, N) i8, probs - 128
+        vh = vp[rs]                           # (d, M) i32 in i8 range
+        av = jax.lax.dot_general(
+            vh.astype(i8), p8t, (((1,), (0,)), ((), ())),
+            preferred_element_type=i32,
+        ) + 128 * jnp.sum(vh, axis=1, keepdims=True)
+        parts.append(
+            _requant(av, iscal[bi, _AV_MULT], iscal[bi, _AV_SHIFT])
+        )
+    ctx = parts[0] if heads == 1 else jnp.concatenate(parts, axis=0)
+
+    out = proj(ctx.astype(i8), 3, iscal[bi, _O_MULT], iscal[bi, _O_SHIFT])
+    final = _requant(out, iscal[bi, _F_MULT], iscal[bi, _F_SHIFT])
+    return final.astype(jnp.float32) * fscalb[bi, _FS_OUT]
+
+
+def _mix_ffn_t(xt, w1, b1, dwt, dwb, dwmask, w2, b2, width):
+    """MixFFN transposed: expand -> depthwise 3x3 (masked lane shifts)
+    -> exact GELU -> project. (C, N) -> (C, N)."""
+    y = _dot_t(w1, xt) + b1                   # (F, N)
+    conv = None
+    for t, (dy, dx) in enumerate(_TAPS):
+        sh = _lane_shift(y, dy * width + dx) * dwmask[t : t + 1, :]
+        term = dwt[:, t : t + 1] * sh
+        conv = term if conv is None else conv + term
+    g = jax.nn.gelu(conv + dwb, approximate=False)
+    return _dot_t(w2, g) + b2
+
+
+def _stage_t(xt, v, iscal, fscalb, si, hw, heads):
+    """One Mix-Transformer stage (2 blocks) on transposed tokens."""
+    s = str(si + 1)
+    for li in range(2):
+        bi = si * 2 + li
+        redt = _reduce_conv_t(
+            xt, v[f"selwide{s}"], v[f"wstack{s}"][li], v[f"mask{s}"],
+            v[f"rowsel{s}"], v[f"colsel{s}"], v[f"redb{s}"][:, li : li + 1],
+            v[f"redln{s}"][:, 2 * li : 2 * li + 1],
+            v[f"redln{s}"][:, 2 * li + 1 : 2 * li + 2],
+        )
+        xt = xt + _attn_block_t(
+            xt, redt, v[f"wint{s}"][li], v[f"ibias{s}"][li],
+            iscal, fscalb, bi, heads,
+        )
+        xt = xt + _mix_ffn_t(
+            xt, v[f"w1s{s}"][li], v[f"b1s{s}"][:, li : li + 1],
+            v[f"dwt{s}"][li], v[f"dwb{s}"][:, li : li + 1],
+            v[f"dwmask{s}"], v[f"w2s{s}"][li],
+            v[f"b2s{s}"][:, li : li + 1], hw[1],
+        )
+        xt = _ln_t(
+            xt, v[f"lns{s}"][:, 2 * li : 2 * li + 1],
+            v[f"lns{s}"][:, 2 * li + 1 : 2 * li + 2],
+        )
+    return xt
+
+
+def _vitfly_encode_t(x1t, v, iscal, fscalb, st: VitflyStatic):
+    """Pre-LN stage-1 tokens (32, 345) -> (f1T (32, 345), f2T (64, 96))."""
+    xt = _ln_t(x1t, v["pln1"][:, 0:1], v["pln1"][:, 1:2])
+    f1t = _stage_t(xt, v, iscal, fscalb, 0, st.hw1, st.heads[0])
+    # stage-2 patch conv (k3 s2 p1): 9 gather+tap matmuls
+    acc = None
+    for t in range(9):
+        gt = _dot(f1t, v["sel2"][t])          # (32, 96)
+        term = _dot(v["w2taps"][t], gt)       # (64, 96)
+        acc = term if acc is None else acc + term
+    acc = acc + v["ppack2"][:, 0:1]
+    x2t = _ln_t(acc, v["ppack2"][:, 1:2], v["ppack2"][:, 2:3])
+    f2t = _stage_t(x2t, v, iscal, fscalb, 1, st.hw2, st.heads[1])
+    return f1t, f2t
+
+
+def _vitfly_fusion_t(f1t, f2t, v, fw):
+    """(f1T, f2T) -> fusion conv output (12, fh*fw), transposed NCHW
+    flatten order (conv bias folded into the decoder bias)."""
+    sh = None
+    for off in range(4):
+        part = _dot(_dot(v["gsel"][off], f2t), v["psel"][off])
+        sh = part if sh is None else sh + part        # (16, 384)
+    up = _dot(f1t, v["umat"])                          # (32, 384)
+    fused = jnp.concatenate([sh, up], axis=0)          # (48, 384)
+    acc = None
+    for t, (dy, dx) in enumerate(_TAPS):
+        shp = _lane_shift(fused, dy * fw + dx) * v["fmasks"][t : t + 1, :]
+        term = _dot(v["fktaps"][t], shp)
+        acc = term if acc is None else acc + term
+    return acc                                          # (12, 384)
+
+
+# ---------------------------------------------------------------------------
+# XLA prefix: stage-1 patch conv, emitted TRANSPOSED (channels first).
+# ---------------------------------------------------------------------------
+
+
+def vitfly_tokens_preln_t(frame: jax.Array, p: dict, cfg) -> jax.Array:
+    """(1, 1, 60, 90) f32 -> pre-LN stage-1 tokens, transposed (32, 345).
+
+    im2col with the PATCH axis on lanes: 49 strided slices stacked on
+    sublanes, one (32, 49) x (49, 345) matmul. Channel-first output is
+    exactly the kernel's operand layout — no relayout at the boundary
+    (the flagship's conv2d_im2col_tokens lesson, layers.py:83)."""
+    sc = cfg.stages[0]
+    h0, w0 = cfg.img_hw
+    k, s, pad = sc.patch, sc.stride, sc.pad
+    oh = (h0 + 2 * pad - k) // s + 1
+    ow = (w0 + 2 * pad - k) // s + 1
+    xp = jnp.pad(frame[0, 0], ((pad, pad), (pad, pad)))
+    rows = [
+        xp[ky : ky + s * oh : s, kx : kx + s * ow : s].reshape(-1)
+        for ky in range(k)
+        for kx in range(k)
+    ]
+    patches = jnp.stack(rows)                          # (49, 345)
+    wmat = p["w"].reshape(sc.out_ch, k * k)            # (32, 49)
+    return _dot(wmat, patches) + p["b"][:, None]
+
+
+# ---------------------------------------------------------------------------
+# The kernel, its pure-jnp mirror, and the jitted wrapper.
+# ---------------------------------------------------------------------------
+
+
+def _vitfly_megakernel(
+    st: VitflyStatic,  # static
+    plane, nchan,      # static: fusion plane (384), conv channels (12)
+    iscal_ref,         # SMEM (4, 16) i32
+    fscalb_ref,        # SMEM (4, 4) f32
+    fserve_ref,        # SMEM (1, 4) f32: [desired_vel, pos_x, 0, 0]
+    x1_ref,            # VMEM (32, 345) f32 — pre-LN stage-1 tokens^T
+    *refs,
+):
+    ne = len(_ENC_FIELDS)
+    (wpack_ref, wscale_ref, bdec_ref, b0_ref, b1_ref, b2_ref,
+     whead_ref, bhead_ref, quat_ref, h_ref, c_ref,
+     cmd_ref, h_out_ref, c_out_ref, outt_ref, dec_ref) = refs[ne:]
+    del nchan
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _encode_fuse():
+        v = {k: r[...] for k, r in zip(_ENC_FIELDS, refs[:ne])}
+        f1t, f2t = _vitfly_encode_t(
+            x1_ref[...].astype(jnp.float32), v, iscal_ref, fscalb_ref, st
+        )
+        acc = _vitfly_fusion_t(f1t, f2t, v, st.fw)
+        # (3, 8, plane) scratch: 4 conv channels per 8-row-aligned plane
+        # (Mosaic rejects unaligned dynamic sublane offsets).
+        for g in range(3):
+            outt_ref[g, :4, :] = acc[g * 4 : (g + 1) * 4]
+        dec_ref[...] = bdec_ref[...]
+
+    @pl.when(i < 3)
+    def _decoder_group():
+        grp = outt_ref[jnp.minimum(i, 2), :4, :]       # (4, plane)
+        wblk = wpack_ref[0]                            # (1536, 512)
+        part = None
+        for j in range(4):
+            term = jnp.dot(
+                grp[j][None, :].astype(jnp.bfloat16),
+                wblk[j * plane : (j + 1) * plane].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            part = term if part is None else part + term
+        dec_ref[...] += part * wscale_ref[_S_DEC][None, :]
+
+    @pl.when(i == 3)
+    def _tail():
+        desired_vel = fserve_ref[0, 0]
+        extra = jnp.concatenate(
+            [(desired_vel / 10.0).reshape(1, 1), quat_ref[...]], axis=1
+        )
+        cmd, hs, cs = _lstm_head_postprocess(
+            dec_ref[...], wpack_ref[0], wscale_ref[...],
+            b0_ref[...], b1_ref[...], b2_ref[...],
+            whead_ref[...], bhead_ref[...],
+            extra, h_ref[...], c_ref[...],
+            desired_vel, fserve_ref[0, 1],
+        )
+        cmd_ref[0] = cmd
+        for layer in range(3):
+            h_out_ref[layer] = hs[layer]
+            c_out_ref[layer] = cs[layer]
+
+
+def vitfly_megakernel_reference(
+    kp: VitflyKernelParams,
+    x1t: jax.Array,          # (32, 345) f32 — pre-LN stage-1 tokens^T
+    desired_vel,
+    pos_x,
+    quat: jax.Array,         # (1, 4)
+    h: jax.Array,            # (3, 1, 128)
+    c: jax.Array,
+    st: VitflyStatic | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Pure-jnp mirror of the kernel's math (same helpers, no Pallas):
+    interpret-mode kernel must match this near-exactly; THIS function is
+    checked against vitfly_int8_forward at float-glue tolerance."""
+    from ...models.vitfly import VITFLY_LSTM
+
+    st = st or _static_from_cfg(VITFLY_LSTM)[0]
+    v = {k: getattr(kp, k) for k in _ENC_FIELDS}
+    f1t, f2t = _vitfly_encode_t(x1t, v, kp.iscal, kp.fscalb, st)
+    acc = _vitfly_fusion_t(f1t, f2t, v, st.fw)
+
+    plane = kp.umat.shape[1]
+    dec = kp.bdec
+    for g in range(3):
+        wblk = kp.wpack[g]
+        part = None
+        for j in range(4):
+            term = jnp.dot(
+                acc[g * 4 + j][None, :].astype(jnp.bfloat16),
+                wblk[j * plane : (j + 1) * plane].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            part = term if part is None else part + term
+        dec = dec + part * kp.wscale[_S_DEC][None, :]
+
+    desired_vel = jnp.float32(desired_vel)
+    extra = jnp.concatenate(
+        [(desired_vel / 10.0).reshape(1, 1), quat], axis=1
+    )
+    cmd, hs, cs = _lstm_head_postprocess(
+        dec, kp.wpack[3], kp.wscale, kp.b0, kp.b1, kp.b2,
+        kp.whead, kp.bhead, extra, h, c, desired_vel, jnp.float32(pos_x),
+    )
+    return cmd, jnp.stack(hs), jnp.stack(cs)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def vitfly_fused_step(
+    kp: VitflyKernelParams,
+    tokens_t: jax.Array,     # (32, 345) f32 — pre-LN stage-1 tokens^T
+    desired_vel: jax.Array,  # scalar f32
+    pos_x: jax.Array,        # scalar f32
+    quat: jax.Array,         # (1, 4) f32
+    h: jax.Array,            # (3, 1, 128) f32
+    c: jax.Array,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """pre-LN stage-1 tokens^T -> (postprocessed cmd (3,), h', c'),
+    ONE launch (grid=(4,): encode+fuse / 3 decoder groups + LSTM block,
+    wpack DMAs pipelining behind compute, flagship-style)."""
+    from ...models.vitfly import VITFLY_LSTM
+
+    st = _static_from_cfg(VITFLY_LSTM)[0]
+    plane = kp.umat.shape[1]
+    fserve = jnp.concatenate(
+        [
+            jnp.stack([desired_vel, pos_x]).astype(jnp.float32),
+            jnp.zeros((2,), jnp.float32),
+        ]
+    )[None, :]
+
+    def smem(shape):
+        return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+    def const(shape):
+        return pl.BlockSpec(
+            shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+        )
+
+    enc_ops = [getattr(kp, f) for f in _ENC_FIELDS]
+    operands = [
+        kp.iscal, kp.fscalb, fserve, tokens_t,
+        *enc_ops,
+        kp.wpack, kp.wscale, kp.bdec, kp.b0, kp.b1, kp.b2,
+        kp.whead, kp.bhead, quat, h, c,
+    ]
+    in_specs = [
+        smem((4, N_ISCALARS)),
+        smem((4, 4)),
+        smem((1, 4)),
+        const(tokens_t.shape),
+        *[const(o.shape) for o in enc_ops],
+        pl.BlockSpec(
+            (1, _WPACK_ROWS, kp.wpack.shape[2]), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        const(kp.wscale.shape), const(kp.bdec.shape),
+        const(kp.b0.shape), const(kp.b1.shape), const(kp.b2.shape),
+        const(kp.whead.shape), const(kp.bhead.shape),
+        const((1, 4)), const(h.shape), const(c.shape),
+    ]
+    n_in = len(operands)
+    cmd, h_new, c_new = pl.pallas_call(
+        functools.partial(_vitfly_megakernel, st, plane, 12),
+        grid=(4,),
+        in_specs=in_specs,
+        out_specs=(const((1, 3)), const(h.shape), const(c.shape)),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, 3), jnp.float32),
+            jax.ShapeDtypeStruct(h.shape, jnp.float32),
+            jax.ShapeDtypeStruct(c.shape, jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((3, 8, plane), jnp.float32),
+            pltpu.VMEM((1, kp.wpack.shape[2]), jnp.float32),
+        ],
+        # LSTM state updates in place (the flagship's measured ~1 us/frame
+        # saving from eliding XLA's copies around the custom call).
+        input_output_aliases={n_in - 2: 1, n_in - 1: 2},
+        interpret=interpret,
+    )(*operands)
+    return cmd[0], h_new, c_new

@@ -209,6 +209,31 @@ def make_vitfly_serving_step(vcfg=None, path: str = "int8"):
         )
     elif path == "f32":
         fwd = lambda p, vp, f, v, q, s: VF.forward(vcfg, p, f, v, q, s)
+    elif path == "mega":
+        # Whole-model megakernel (ops/pallas/vitfly_model_kernel.py):
+        # stage-1 patch conv in XLA (transposed im2col), then ONE
+        # pallas_call for stages+fusion+decoder+LSTM+head+postprocess.
+        # The params slot carries the precomputed kernel-params pytree
+        # (make_vitfly_kernel_params); vint_params slot unused (baked).
+        from ..ops.pallas.vitfly_model_kernel import (
+            vitfly_fused_step,
+            vitfly_tokens_preln_t,
+        )
+
+        interp = jax.default_backend() != "tpu"
+
+        def vf_mega_step(kp, _vp, image_u8, vel, pos_x, quat, state):
+            frame = image_u8.astype(jnp.float32)[None, None, :, :] / 255.0
+            tokens_t = vitfly_tokens_preln_t(frame, kp.tok, vcfg)
+            cmd, h, c = vitfly_fused_step(
+                kp, tokens_t, vel, pos_x, quat[None, :],
+                state.h, state.c, interpret=interp,
+            )
+            from ..models.vit_lstm import LSTMState
+
+            return cmd, LSTMState(h, c)
+
+        return jax.jit(vf_mega_step, donate_argnums=(6,))
     else:
         raise ValueError(path)
 
