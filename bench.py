@@ -404,6 +404,66 @@ def main() -> None:
             "aggregate_fps": round(cap / us * 1e6, 0),
         }
 
+    # Vitfly (upstream ITALSTM) family — the reference's alt export path.
+    # Two rows: the f32 spine and the whole-model megakernel
+    # (ops/pallas/vitfly_model_kernel.py, round 5 — the quantized path's
+    # batch-1 champion; per-block kernels lose to launch overhead,
+    # docs/zoo_bench.json note). Trained artifacts load when present.
+    from drone_oa_iree_vit_accelerator_tpu.models import vitfly as VF
+    from drone_oa_iree_vit_accelerator_tpu.ops.pallas.vitfly_model_kernel import (
+        make_vitfly_kernel_params,
+    )
+    from drone_oa_iree_vit_accelerator_tpu.pipeline.aot import (
+        _calibrate_vitfly,
+    )
+    from drone_oa_iree_vit_accelerator_tpu.pipeline.serve import (
+        make_vitfly_serving_step,
+    )
+
+    vcfg = VF.VITFLY_LSTM
+    vparams = VF.init_params(vcfg, jax.random.PRNGKey(3))
+    if (ckpt_dir / "vitfly_float.npz").exists():
+        vparams = params_io.load_params(
+            str(ckpt_dir / "vitfly_float.npz"), vparams
+        )
+    vint = _calibrate_vitfly(vparams)
+    if (ckpt_dir / "vitfly_int8.npz").exists():
+        vint = params_io.load_params(str(ckpt_dir / "vitfly_int8.npz"), vint)
+    vkp = make_vitfly_kernel_params(vcfg, vparams, vint)
+    vitfly = {}
+    for kind in ("f32", "pallas", "mega"):
+        vstep = make_vitfly_serving_step(vcfg, kind)
+        p0 = vkp if kind == "mega" else vparams
+        ip0 = None if kind in ("mega", "f32") else vint
+        ncalls = 40
+
+        def vargs():
+            vel = jnp.float32(4.0)
+            quat = jnp.asarray([1.0, 0, 0, 0], jnp.float32)
+            imgs = [
+                jax.random.randint(jax.random.PRNGKey(9000 + i), (60, 90),
+                                   0, 256, jnp.uint8)
+                for i in range(ncalls + 1)
+            ]
+            jax.block_until_ready(imgs)
+            px = jnp.float32(5.0)
+            return (
+                [(p0, ip0, imgs[i + 1], vel, px, quat,
+                  M.zero_state(vcfg, 1)) for i in range(ncalls)],
+                (p0, ip0, imgs[0], vel, px, quat, M.zero_state(vcfg, 1)),
+            )
+
+        va, vwarm = vargs()
+        t = device_time_per_call(vstep, va, warmup_args=vwarm)
+        if t.n_executions < ncalls:
+            va, vwarm = vargs()
+            t = device_time_per_call(vstep, va, warmup_args=vwarm,
+                                     settle_s=3.0)
+        us = t.per_call_ms * 1e3
+        vitfly[f"{kind}_b1"] = {
+            "device_us": round(us, 2), "fps": round(1e6 / us, 0),
+        }
+
     best_kind, best = max(
         ((k, v) for k, v in results.items() if "_b" in k and not
          k.endswith("_b1")),
@@ -450,6 +510,7 @@ def main() -> None:
         "paths": results,
         "ita_base": base,
         "fleet": fleet,
+        "vitfly": vitfly,
         "op_breakdown_file": "docs/op_breakdown_bench.json",
         "timing_source": "jax.profiler device trace (host wall-time is a relay artifact on this platform); percentiles from per-execution spans",
         "backend": jax.default_backend(),

@@ -168,6 +168,105 @@ def from_torch_state_dict(sd: Mapping[str, Any], cfg: ModelConfig) -> dict:
     return _to_jnp(params)
 
 
+def vitfly_from_torch_state_dict(sd: Mapping[str, Any], cfg=None) -> dict:
+    """Convert an upstream vitfly ``LSTMNetVIT`` torch state dict to our
+    vitfly parameter pytree (models/vitfly.py init_params structure).
+
+    The upstream naming is the module tree the reference instantiates for
+    its alt export path (reference scripts/export_model.py:40-240 — the
+    float MixTransformerEncoderLayer spelling — and the checkpoint the
+    reference loads in models/converter_to_pt.py:21-96):
+
+        encoder_blocks.{s}.patchMerge.{cn1,layerNorm}
+        encoder_blocks.{s}._attn.{i}.{cn1,ln1,keyValueExtractor,query,finalLayer}
+        encoder_blocks.{s}._ffn.{i}.{mlp1,depthwise,mlp2}
+        encoder_blocks.{s}._lNorm.{i}   (float)  /  ._lNorms.{i}  (ITA wrapper)
+        down_sample / decoder (spectral norm) / lstm / nn_fc2 (spectral norm)
+
+    Linear weights transpose (out,in)->(in,out); convs keep OIHW;
+    spectral-norm layers read weight_orig/weight_u/weight_v (plain
+    ``weight`` accepted with zero u/v, i.e. norm disabled at load).
+    """
+    from .vitfly import VITFLY_LSTM
+
+    cfg = cfg or VITFLY_LSTM
+    sd = dict(sd)
+
+    def get(name):
+        return _np(sd[name])
+
+    def linear(name):
+        return {"w": get(f"{name}.weight").T, "b": get(f"{name}.bias")}
+
+    def conv(name):
+        return {"w": get(f"{name}.weight"), "b": get(f"{name}.bias")}
+
+    def ln(name):
+        return {"g": get(f"{name}.weight"), "b": get(f"{name}.bias")}
+
+    def sn_linear(name, out_dim, in_dim):
+        if f"{name}.weight_orig" in sd:
+            return {
+                "w": get(f"{name}.weight_orig").T,
+                "b": get(f"{name}.bias"),
+                "u": get(f"{name}.weight_u"),
+                "v": get(f"{name}.weight_v"),
+            }
+        p = linear(name)
+        p["u"] = np.zeros((out_dim,), np.float32)
+        p["v"] = np.zeros((in_dim,), np.float32)
+        return p
+
+    stages = []
+    for s, sc in enumerate(cfg.stages):
+        base = f"encoder_blocks.{s}"
+        lnorm = "_lNorm" if f"{base}._lNorm.0.weight" in sd else "_lNorms"
+        layers = []
+        for i in range(sc.n_layers):
+            a, f = f"{base}._attn.{i}", f"{base}._ffn.{i}"
+            layers.append(
+                {
+                    "attn": {
+                        "reduce_conv": conv(f"{a}.cn1"),
+                        "reduce_ln": ln(f"{a}.ln1"),
+                        "kv": linear(f"{a}.keyValueExtractor"),
+                        "q": linear(f"{a}.query"),
+                        "out": linear(f"{a}.finalLayer"),
+                    },
+                    "ffn": {
+                        "mlp1": linear(f"{f}.mlp1"),
+                        "dw": conv(f"{f}.depthwise"),
+                        "mlp2": linear(f"{f}.mlp2"),
+                    },
+                    "ln": ln(f"{base}.{lnorm}.{i}"),
+                }
+            )
+        stages.append(
+            {
+                "patch_conv": conv(f"{base}.patchMerge.cn1"),
+                "patch_ln": ln(f"{base}.patchMerge.layerNorm"),
+                "layers": tuple(layers),
+            }
+        )
+
+    params = {
+        "stages": tuple(stages),
+        "fusion_conv": conv("down_sample"),
+        "decoder": sn_linear("decoder", cfg.decoder_out, cfg.decoder_in),
+        "lstm": tuple(
+            {
+                "w_ih": get(f"lstm.weight_ih_l{i}").T,
+                "w_hh": get(f"lstm.weight_hh_l{i}").T,
+                "b_ih": get(f"lstm.bias_ih_l{i}"),
+                "b_hh": get(f"lstm.bias_hh_l{i}"),
+            }
+            for i in range(cfg.lstm_layers)
+        ),
+        "fc2": sn_linear("nn_fc2", cfg.out_dim, cfg.lstm_hidden),
+    }
+    return _to_jnp(params)
+
+
 def _to_jnp(tree):
     if isinstance(tree, Mapping):
         return {k: _to_jnp(v) for k, v in tree.items()}

@@ -466,6 +466,13 @@ def make_vitfly_kernel_params(
 
 
 def _dot(a, b, dims=(((1,), (0,)), ((), ()))):
+    # precision=DEFAULT (bf16 passes), measured r5 on the v5e: pinning
+    # these dots to HIGHEST (true-f32, ~6 MXU passes each) left the
+    # Mosaic-vs-XLA whole-step gap unchanged (6.8e-3 vs 7.2e-3 — the gap
+    # is transcendental lowering + int8 quantize-boundary flips, not dot
+    # precision) while the kernel is matmul-PASS-bound at these tiny
+    # shapes (<= 2048 x 345 x 128, quarter-occupancy MXU). bf16 noise
+    # lands below the quantize-bucket width everywhere it matters.
     return jax.lax.dot_general(
         a, b, dims, preferred_element_type=jnp.float32
     )
@@ -546,6 +553,23 @@ def _attn_block_t(xt, redt, w4, b4, iscal, fscalb, bi, heads):
     return final.astype(jnp.float32) * fscalb[bi, _FS_OUT]
 
 
+def _gelu_erf(x):
+    """Exact-form GELU, 0.5*x*(1+erf(x/sqrt(2))), with erf computed by
+    the Abramowitz-Stegun 7.1.26 rational approximation (|eps| <=
+    1.5e-7): Mosaic lowers exp but has no erf/erfc primitive (the
+    round-5 TPU compile of this kernel failed on jax.nn.gelu's erfc).
+    Shared by kernel and mirror, so kernel==mirror stays near-exact and
+    the 1.5e-7 erf error is invisible at the 0.05 composed-path glue
+    tolerance."""
+    xs = x * 0.7071067811865476
+    ax = jnp.abs(xs)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+             - 0.284496736) * t + 0.254829592) * t
+    erf = jnp.sign(xs) * (1.0 - poly * jnp.exp(-ax * ax))
+    return 0.5 * x * (1.0 + erf)
+
+
 def _mix_ffn_t(xt, w1, b1, dwt, dwb, dwmask, w2, b2, width):
     """MixFFN transposed: expand -> depthwise 3x3 (masked lane shifts)
     -> exact GELU -> project. (C, N) -> (C, N)."""
@@ -555,7 +579,7 @@ def _mix_ffn_t(xt, w1, b1, dwt, dwb, dwmask, w2, b2, width):
         sh = _lane_shift(y, dy * width + dx) * dwmask[t : t + 1, :]
         term = dwt[:, t : t + 1] * sh
         conv = term if conv is None else conv + term
-    g = jax.nn.gelu(conv + dwb, approximate=False)
+    g = _gelu_erf(conv + dwb)
     return _dot_t(w2, g) + b2
 
 

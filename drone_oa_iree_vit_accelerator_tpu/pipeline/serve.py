@@ -30,6 +30,10 @@ from . import wire
 
 _MIN_X_VEL = 1.0
 _CONTROL_THRESHOLD = 2.0
+# Native UDP loops: consecutive callback failures tolerated before the
+# loop stops and the exception propagates (ADVICE r3 — a dead engine
+# must not spin silently; isolated malformed packets must not kill it).
+_CB_FAIL_LIMIT = 64
 
 
 def postprocess_velocity(
@@ -701,6 +705,7 @@ def serve_udp_fleet_native(
     if stop_flag is None:
         stop_flag = ctypes.c_int(0)
     req = native.REQUEST_SIZE
+    fail = {"consecutive": 0, "exc": None}
 
     @native.BATCH_CB
     def cb(packets_ptr, peers_ptr, n, replies_ptr, send_ok_ptr, _user):
@@ -729,8 +734,16 @@ def serve_udp_fleet_native(
                     reply, native.REPLY_SIZE,
                 )
                 send_ok_ptr[i] = 1
+            fail["consecutive"] = 0
             return 0
-        except Exception:
+        except Exception as e:
+            # Same persistent-failure escalation as serve_udp: dropped
+            # ticks are survivable, a dead engine is not — stop + raise
+            # rather than spin silently (ADVICE r3).
+            fail["consecutive"] += 1
+            fail["exc"] = e
+            if fail["consecutive"] >= _CB_FAIL_LIMIT:
+                stop_flag.value = 1
             return 1  # drop the tick, keep serving
 
     bound = ctypes.c_int(0)
@@ -754,10 +767,21 @@ def serve_udp_fleet_native(
                 port_out.append(bound.value)
 
         threading.Thread(target=_watch, daemon=True).start()
-    return lib.doa_udp_serve_fleet(
+    rc = lib.doa_udp_serve_fleet(
         port, engine.capacity, window_us, cb, None,
         ctypes.byref(stop_flag), ctypes.byref(bound),
     )
+    if fail["consecutive"] >= _CB_FAIL_LIMIT:
+        raise RuntimeError(
+            f"serve_udp_fleet_native: engine callback failed "
+            f"{fail['consecutive']}x consecutively; serving stopped"
+        ) from fail["exc"]
+    if rc < 0:
+        import os
+
+        raise OSError(-rc, f"native fleet UDP loop failed: "
+                           f"{os.strerror(-rc)}")
+    return rc
 
 
 class ServingEngine:
@@ -883,6 +907,8 @@ def serve_udp(
         stop_flag = ctypes.c_int(0)
     last_frame = [0.0]
 
+    fail = {"consecutive": 0, "exc": None}
+
     @native.FRAME_CB
     def cb(packet_ptr, length, reply_ptr, _user):
         try:
@@ -897,11 +923,31 @@ def serve_udp(
             packet = ctypes.string_at(packet_ptr, length)
             reply = engine.handle_packet(packet)
             ctypes.memmove(reply_ptr, reply, len(reply))
+            fail["consecutive"] = 0
             return 0
-        except Exception:
-            return 1  # drop malformed packets, keep serving
+        except Exception as e:
+            # A malformed packet is expected noise; a PERSISTENTLY
+            # failing engine (device gone, params corrupted) is not —
+            # stop the native loop and surface the cause instead of
+            # silently dropping every frame forever (ADVICE r3:
+            # native-loop death propagation to the spawning Python).
+            fail["consecutive"] += 1
+            fail["exc"] = e
+            if fail["consecutive"] >= _CB_FAIL_LIMIT:
+                stop_flag.value = 1
+            return 1  # drop this packet
 
-    return lib.doa_udp_serve(port, cb, None, ctypes.byref(stop_flag))
+    rc = lib.doa_udp_serve(port, cb, None, ctypes.byref(stop_flag))
+    if fail["consecutive"] >= _CB_FAIL_LIMIT:
+        raise RuntimeError(
+            f"serve_udp: engine callback failed {fail['consecutive']}x "
+            "consecutively; serving stopped"
+        ) from fail["exc"]
+    if rc < 0:
+        import os
+
+        raise OSError(-rc, f"native UDP loop failed: {os.strerror(-rc)}")
+    return rc
 
 
 def _resolve_params(

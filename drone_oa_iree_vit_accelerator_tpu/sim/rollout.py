@@ -110,6 +110,24 @@ def _policy_step(cfg, params, int_params, images_u8, vel_des, state, path,
             jnp.moveaxis(h2[:, :, 0, :], 0, 1), jnp.moveaxis(c2[:, :, 0, :], 0, 1)
         )
         return cmds, new_state, True
+    elif path == "vitfly_f32":
+        # The vitfly (upstream ITALSTM) float family — cfg must be a
+        # VitflyConfig (models/vitfly.py).
+        from ..models import vitfly as VF
+
+        cmd, new_state = VF.forward(
+            cfg, params, frames, vel_des[:, None], quat, state
+        )
+    elif path in ("vitfly_int8", "vitfly_pallas"):
+        # True integer vitfly attention (quant/vitfly_qat.py);
+        # 'vitfly_pallas' runs each block as one fused Pallas kernel.
+        from ..quant.vitfly_qat import vitfly_int8_forward
+
+        cmd, new_state = vitfly_int8_forward(
+            cfg, params, int_params, frames, vel_des[:, None], quat, state,
+            use_kernel=(path == "vitfly_pallas"),
+            interpret=jax.default_backend() != "tpu",
+        )
     else:
         cmd, new_state = M.forward(
             cfg, params, frames, vel_des[:, None], quat, state

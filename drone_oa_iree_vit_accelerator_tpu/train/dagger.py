@@ -33,6 +33,20 @@ from ..sim.rollout import sample_worlds
 from .dataset import Trajectory, expert_command
 
 
+def _family_fns(cfg):
+    """Forward/init dispatch: the collector serves both model families
+    (ModelConfig -> models/vit_lstm, VitflyConfig -> models/vitfly, the
+    upstream alt family — same (cfg, params, frames, vel, quat, state)
+    signature, shared zero_state)."""
+    from ..models.vitfly import VitflyConfig
+
+    if isinstance(cfg, VitflyConfig):
+        from ..models import vitfly as VF
+
+        return VF.forward, VF.init_params
+    return M.forward, M.init_params
+
+
 class _Collected(NamedTuple):
     frames: jax.Array  # (T, B, 60, 90) u8
     labels: jax.Array  # (T, B, 3) expert commands at the visited states
@@ -93,7 +107,7 @@ def _collect_batch(
         )((worlds.centers, worlds.radii), drone.pos)
 
         frames = images.astype(jnp.float32)[:, None] / 255.0
-        cmd_raw, lstm_new = M.forward(
+        cmd_raw, lstm_new = _family_fns(cfg)[0](
             cfg, params, frames, vel_des[:, None], quat, lstm
         )
         pol_cmd = jax.vmap(postprocess_velocity)(
@@ -273,7 +287,7 @@ def collect_expert_trajectories(
     """Expert-only rollouts (DAgger round 0), in memory — the same data
     train.dataset.generate_synthetic writes to disk, without the PNG
     round-trip."""
-    params = M.init_params(cfg, jax.random.PRNGKey(0))  # unused at mix=1
+    params = _family_fns(cfg)[1](cfg, jax.random.PRNGKey(0))  # unused at mix=1
     return collect_policy_trajectories(
         cfg, params, n_trajectories, wcfg=wcfg, steps=steps,
         frame_stride=frame_stride, desired_vel=desired_vel,

@@ -50,10 +50,17 @@ class TrainConfig:
     early_stopping_patience: int = 15
     grad_clip: float = 1.0
     load_checkpoint: str = ""
+    # 'ita' trains MODEL_ZOO[model] via models/vit_lstm; 'vitfly' trains
+    # the upstream ITALSTM family (models/vitfly.py) — the reference
+    # trains that family with the SAME trainer semantics
+    # (training/qa_train.py warm-starts the upstream checkpoint).
+    family: str = "ita"
 
 
-def sequence_loss(cfg: ModelConfig, params, batch, rng, training=True):
+def sequence_loss(cfg: ModelConfig, params, batch, rng, training=True,
+                  forward_fn=None):
     """Masked MSE over a padded trajectory batch (B, T, ...)."""
+    forward_fn = forward_fn or M.forward
     b = batch["frames"].shape[0]
     state0 = M.zero_state(cfg, b)
 
@@ -61,7 +68,7 @@ def sequence_loss(cfg: ModelConfig, params, batch, rng, training=True):
         state, rng = carry
         frames, vel, quat, gt, mask = xs
         rng, sub = jax.random.split(rng)
-        cmd, state_new = M.forward(
+        cmd, state_new = forward_fn(
             cfg, params,
             frames.astype(jnp.float32) / 255.0,
             vel, quat, state,
@@ -103,7 +110,16 @@ class Trainer:
 
     def __init__(self, tcfg: TrainConfig, trajectories=None):
         self.tcfg = tcfg
-        self.cfg = MODEL_ZOO[tcfg.model]
+        if tcfg.family == "vitfly":
+            from ..models import vitfly as VF
+
+            self.cfg = VF.VITFLY_LSTM
+            self._init_params = VF.init_params
+            self._forward = VF.forward
+        else:
+            self.cfg = MODEL_ZOO[tcfg.model]
+            self._init_params = M.init_params
+            self._forward = M.forward
         self.workspace = pathlib.Path(tcfg.workspace)
         self.workspace.mkdir(parents=True, exist_ok=True)
         self.log_file = self.workspace / "train_log.jsonl"
@@ -114,7 +130,7 @@ class Trainer:
         self.train_trajs = trajs[n_val:]
 
         key = jax.random.PRNGKey(tcfg.seed)
-        self.params = M.init_params(self.cfg, key)
+        self.params = self._init_params(self.cfg, key)
         if tcfg.load_checkpoint:
             self.params = params_io.load_params(tcfg.load_checkpoint, self.params)
         self.rng = jax.random.fold_in(key, 1)
@@ -137,7 +153,9 @@ class Trainer:
         def train_step(params, opt_state, batch, rng):
             params = update_spectral_vectors(params)
             loss, grads = jax.value_and_grad(
-                lambda p: sequence_loss(self.cfg, p, batch, rng)
+                lambda p: sequence_loss(
+                    self.cfg, p, batch, rng, forward_fn=self._forward
+                )
             )(params)
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
@@ -145,7 +163,8 @@ class Trainer:
         self._train_step = jax.jit(train_step)
         self._eval_loss = jax.jit(
             lambda params, batch: sequence_loss(
-                self.cfg, params, batch, jax.random.PRNGKey(0), training=False
+                self.cfg, params, batch, jax.random.PRNGKey(0),
+                training=False, forward_fn=self._forward,
             )
         )
 

@@ -184,10 +184,15 @@ def bench_vitfly() -> dict:
         make_vitfly_serving_step,
     )
 
+    from drone_oa_iree_vit_accelerator_tpu.ops.pallas.vitfly_model_kernel import (
+        make_vitfly_kernel_params,
+    )
+
     vcfg = VF.VITFLY_LSTM
     key = jax.random.PRNGKey(0)
     params = VF.init_params(vcfg, key)
     vint = _calibrate_vitfly(params)
+    kp = make_vitfly_kernel_params(vcfg, params, vint)
     out = {
         "dims": "2-stage ITALSTM (spatial-reduction attn, H=2)",
         "note": (
@@ -195,15 +200,20 @@ def bench_vitfly() -> dict:
             "cost is per-launch overhead, not arithmetic — the fused "
             "per-block kernel (pallas) matches the XLA int8 path within "
             "noise because 4 kernel launches x ~10 us fixed cost "
-            "dominate (same mechanism as mega_b1_floor's ~12 us fixed "
-            "overhead). The ITA family wins b1 only via the whole-model "
-            "megakernel; a vitfly megakernel is the corresponding "
-            "future cure."
+            "dominate. The whole-model megakernel (mega_b1, r5) measured "
+            "NEGATIVE for this geometry: its transposed token planes "
+            "(32x345, 64x96) run the MXU at quarter occupancy and one "
+            "Mosaic program serializes ~60 such passes, where XLA's own "
+            "schedule overlaps better (precision pin moved nothing — "
+            "pass-bound). Per-block pallas is the vitfly quantized "
+            "champion; see README Known levers."
         ),
     }
     ncalls = 40
-    for kind in ("f32", "int8", "pallas"):
+    for kind in ("f32", "int8", "pallas", "mega"):
         step = make_vitfly_serving_step(vcfg, kind)
+        bp = kp if kind == "mega" else params
+        bip = None if kind == "mega" else vint
 
         def vargs():
             vel = jnp.float32(4.0)
@@ -216,9 +226,9 @@ def bench_vitfly() -> dict:
             jax.block_until_ready(frames)
             px = jnp.float32(5.0)
             return (
-                [(params, vint, frames[i + 1], vel, px, quat,
+                [(bp, bip, frames[i + 1], vel, px, quat,
                   M.zero_state(vcfg, 1)) for i in range(ncalls)],
-                (params, vint, frames[0], vel, px, quat,
+                (bp, bip, frames[0], vel, px, quat,
                  M.zero_state(vcfg, 1)),
             )
 
