@@ -120,6 +120,7 @@ def main() -> None:
             str(ckpt_dir / "model_int8.npz"), int_params
         )
     tail = make_tail(CFG, params)
+    tail_t = make_tail(CFG, params, e_major=True)
     params = M.freeze_for_inference(CFG, params)
     int_flops = encoder_int_flops(CFG)
 
@@ -141,8 +142,11 @@ def main() -> None:
         elif kind == "turbo":
             # max_nb=8 measured best on the folded kernel (0.964 ms at
             # b1024 vs 0.979 at nb=16, 0.983 at nb=32 — device traces).
+            # Transposed pipeline (encoder='pallas_T'): channels-on-
+            # sublanes kernel + e-major tail — measured 916 -> 764 us
+            # at b1024 (docs/turbo_T_report.json).
             fwd = lambda p, ip, f, v, q, s: turbo_forward(
-                CFG, p, ip, tail, f, v, q, s, encoder="pallas", max_nb=8
+                CFG, p, ip, tail_t, f, v, q, s, encoder="pallas_T", max_nb=8
             )
         elif kind == "turbo_int8":
             fwd = lambda p, ip, f, v, q, s: turbo_forward(

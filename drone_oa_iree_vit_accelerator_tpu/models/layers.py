@@ -292,6 +292,25 @@ def tokenizer_tokens_factored(
     dt = dtype or x.dtype
     f32 = jnp.float32
 
+    v = _tokenizer_taps(x, cfg, (ah_np, aw_np), dt)
+    w49 = p["conv"]["w"].reshape(cfg.E, k * k).T.astype(dt)  # (k*k, E)
+    tokens = jax.lax.dot_general(
+        v.astype(dt), w49, (((2,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    return tokens + p["conv"]["b"].astype(f32)
+
+
+def _tokenizer_taps(x, cfg, ops, dt):
+    """Stages 1+2 of the factored conv+resize tokenizer: (B,1,H,W) ->
+    per-token conv taps (B, S, k*k) via two dense GEMMs (shared by the
+    row-major and transposed stage-3 variants)."""
+    ah_np, aw_np = ops
+    k = cfg.patch_size
+    th, tw = cfg.token_hw
+    h, w = cfg.img_hw
+    b = x.shape[0]
+    f32 = jnp.float32
     ah = jnp.asarray(ah_np.reshape(k * th, h), dt)        # (k*th, H)
     aw = jnp.asarray(aw_np.transpose(2, 0, 1).reshape(w, k * tw), dt)
     xs = x.reshape(b, h, w).astype(dt)
@@ -304,15 +323,40 @@ def tokenizer_tokens_factored(
     v = jax.lax.dot_general(
         u.astype(dt), aw, (((2,), (0,)), ((), ())), preferred_element_type=f32
     )
-    # Stage 3: gather taps per token and contract with the conv kernel.
+    # Gather taps per token for the stage-3 conv-kernel contraction.
     v = v.reshape(k, th, b, k, tw).transpose(2, 1, 4, 0, 3)
-    v = v.reshape(b, th * tw, k * k)
-    w49 = p["conv"]["w"].reshape(cfg.E, k * k).T.astype(dt)  # (k*k, E)
-    tokens = jax.lax.dot_general(
-        v.astype(dt), w49, (((2,), (0,)), ((), ())),
+    return v.reshape(b, th * tw, k * k)
+
+
+def tokenizer_tokens_factored_T(
+    x: jax.Array, p: dict, cfg, dtype=None
+) -> jax.Array:
+    """Transposed-layout twin of tokenizer_tokens_factored: pre-LN
+    tokens as (E, B*S) with channels on the major axis — the input
+    layout of the fully transposed encoder kernel
+    (ops/pallas/ita_kernel.ita_encoder_block_T).
+
+    Same stage-1/2 GEMMs; stage 3 contracts the conv kernel with the
+    taps on the OTHER side — dot((E, k*k), (B, S, k*k)) -> (E, B, S) —
+    so the transposed layout is the GEMM's native output, not a copy.
+    Numerically equal to tokenizer_tokens_factored up to f32 dot
+    accumulation order."""
+    key = (cfg.img_hw, cfg.patch_size, cfg.patch_stride, cfg.patch_padding,
+           cfg.token_hw)
+    if key not in _TOKEN_OP_CACHE:
+        _TOKEN_OP_CACHE[key] = _token_operator(cfg)
+    k = cfg.patch_size
+    b = x.shape[0]
+    dt = dtype or x.dtype
+    f32 = jnp.float32
+    v = _tokenizer_taps(x, cfg, _TOKEN_OP_CACHE[key], dt)
+    we = p["conv"]["w"].reshape(cfg.E, k * k).astype(dt)     # (E, k*k)
+    tokens_t = jax.lax.dot_general(
+        we, v.astype(dt), (((1,), (2,)), ((), ())),
         preferred_element_type=f32,
-    )
-    return tokens + p["conv"]["b"].astype(f32)
+    )  # (E, B, S)
+    tokens_t = tokens_t + p["conv"]["b"].astype(f32)[:, None, None]
+    return tokens_t.reshape(cfg.E, b * cfg.S)
 
 
 _TOKEN_OP2_CACHE: dict = {}

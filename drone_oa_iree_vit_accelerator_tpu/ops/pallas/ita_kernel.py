@@ -209,26 +209,39 @@ def _integer_softmax_streaming_T_p8(
     running max / renormalized sum live in (1, L) rows. Identical
     integer ops per element as _integer_softmax_streaming (the oracle's
     PyITA semantics), just transposed; returns the offset-packed int8
-    operand for the dim-0-contracting AV matmul."""
+    operand for the dim-0-contracting AV matmul.
+
+    Dependency-restructured for ILP (round 5): the naive scan serializes
+    every (16, L) group step behind the previous step's running max. The
+    recurrence only needs the PREFIX maxes, which cost 8 cheap (1, L)
+    row ops — so the group maxes and the per-group partial sums (the
+    full-width work) are hoisted into independent passes and only the
+    (1, L) accumulator recurrence stays serial. Bit-exact vs the naive
+    scan: identical integer expressions per element (the per-group sum
+    uses its prefix max exactly as the scan's cur_max did; the
+    accumulator shift composes the same jnp.minimum(.., 31)-clamped
+    amounts), just reordered across independent values."""
     s = aT_i32.shape[0]
-    cur_max = None
-    cur_sum = None
-    for g in range(s // width):
-        grp = aT_i32[g * width : (g + 1) * width, :]     # (16, L)
-        gmax = jnp.max(grp, axis=0, keepdims=True)       # (1, L)
-        if cur_max is None:
-            cur_max, cur_sum = gmax, jnp.zeros_like(gmax)
-        else:
-            new_max = jnp.maximum(cur_max, gmax)
-            cur_sum = cur_sum >> jnp.minimum(new_max - cur_max, 31)
-            cur_max = new_max
-        d = cur_max - grp
-        cur_sum = cur_sum + jnp.sum(
-            256 >> jnp.minimum(d, 31), axis=0, keepdims=True
+    n_groups = s // width
+    grps = [aT_i32[g * width : (g + 1) * width, :] for g in range(n_groups)]
+    gmax = [jnp.max(g, axis=0, keepdims=True) for g in grps]   # (1, L) each
+    pmax = [gmax[0]]                                  # scan's cur_max trace
+    for g in range(1, n_groups):
+        pmax.append(jnp.maximum(pmax[-1], gmax[g]))
+    psum = [
+        jnp.sum(
+            256 >> jnp.minimum(pmax[g] - grps[g], 31), axis=0, keepdims=True
         )
+        for g in range(n_groups)
+    ]
+    cur_sum = psum[0]
+    for g in range(1, n_groups):
+        cur_sum = (
+            cur_sum >> jnp.minimum(pmax[g] - pmax[g - 1], 31)
+        ) + psum[g]
     denom = jnp.maximum(cur_sum, 1)
     inv = _floor_div_u25(_SOFTMAX_NUM, denom)            # (1, L)
-    diff = cur_max - aT_i32
+    diff = pmax[-1] - aT_i32
     exp = 256 >> jnp.minimum(diff, 31)
     return (((exp * inv) >> 16) - 128).astype(jnp.int8)  # (S, L) i8
 
@@ -543,6 +556,285 @@ def encoder_core_batched(
 
     ffn_f = ff2.astype(jnp.float32) * fscal_ref[0, _FS_FFN_OUT]
     return _layer_norm(h + ffn_f, ln2_g_ref[0], ln2_b_ref[0])
+
+
+def _layer_norm_T(x, g, b, eps=1e-5):
+    """LayerNorm on channels-on-sublanes activations: x (E, L), feature
+    reduction over axis 0, per-feature g/b as (E, 1) columns broadcast
+    along lanes. Same f32 math as _layer_norm up to reduction order."""
+    mu = jnp.mean(x, axis=0, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=0, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * g + b
+
+
+def _dot_T(w, x):
+    """(K, N) weights x (K, L) activations -> (N, L), i32 accumulation:
+    the transposed-layout GEMM (contract dim 0 of both — the MXU streams
+    the lhs transposed natively, same cost as _int_dot)."""
+    return jax.lax.dot_general(
+        w, x, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+
+
+def encoder_core_batched_T(
+    xT,            # (E, nb*S) f32 value — channels on SUBLANES
+    softmax_mode,  # static: 'onepass' | 'streaming'
+    nb,            # static: sequences folded into the lane axis
+    seq,           # static: sequence length S
+    iscal_ref, fscal_ref,
+    wq_ref, cq_ref, wk_ref, ck_ref, wv_ref, cv_ref,  # i8 (E,P) / i32 (P,1)
+    wo_ref, co_ref,                                   # i8 (P,E) / i32 (E,1)
+    w1_ref, c1_ref, w2_ref, c2_ref,                   # i8 (E,F),(F,E) / i32
+    ln1_g_ref, ln1_b_ref, ln2_g_ref, ln2_b_ref,       # f32 (E,1)
+    heads: int = 1,
+):
+    """encoder_core_batched in the fully TRANSPOSED layout: activations
+    live as (channels, nb*S) with the folded batch on LANES.
+
+    Why: the flagship's feature dims (E=64, P=192) under-fill the
+    128-lane VPU in the row-major layout — every glue/requant/LN pass
+    over (nb*S, 64) runs at 50% lane occupancy and (nb*S, 192) at 75%
+    (the round-4 lane-occupancy lesson, applied to the OTHER operand
+    axis). With channels on sublanes every elementwise pass is
+    full-width over L = nb*S = 1024 lanes, LN reduces over 64 sublanes,
+    and the MXU dots contract dim 0 of both operands (natively
+    supported, same FLOPs). The (S, nb*S) logits/softmax stage is
+    IDENTICAL to encoder_core_batched — it was already transposed.
+
+    Integer arithmetic is bit-identical to encoder_core per element
+    (same requant/softmax helpers, layout only); the f32 LayerNorm
+    reduces over sublanes instead of lanes, so float outputs agree with
+    the row-major cores to reduction-order ulps (the same tolerance the
+    kernel-vs-golden tests already use).
+
+    Bias handling: requant bias vectors arrive PRE-FOLDED as (N, 1) i32
+    columns cN = b*mult + half (see _requant_folded — exact in i32),
+    computed host-side by ita_encoder_block_T.
+    """
+    s_attn_in = fscal_ref[0, _FS_ATTN_IN]
+    x_i8 = _quantize(xT, s_attn_in)                    # (E, L) i8
+
+    m_q, s_q = iscal_ref[0, _IQ_MULT], iscal_ref[0, _IQ_SHIFT]
+    m_k, s_k = iscal_ref[0, _IK_MULT], iscal_ref[0, _IK_SHIFT]
+    m_v, s_v = iscal_ref[0, _IV_MULT], iscal_ref[0, _IV_SHIFT]
+    m_o, s_o = iscal_ref[0, _IO_MULT], iscal_ref[0, _IO_SHIFT]
+    m_1, s_1 = iscal_ref[0, _IFC1_MULT], iscal_ref[0, _IFC1_SHIFT]
+    m_2, s_2 = iscal_ref[0, _IFC2_MULT], iscal_ref[0, _IFC2_SHIFT]
+
+    qp8 = _requant_folded_i8(_dot_T(wq_ref[:], x_i8), cq_ref[:], m_q, s_q)
+    kp8 = _requant_folded_i8(_dot_T(wk_ref[:], x_i8), ck_ref[:], m_k, s_k)
+    vp8 = _requant_folded_i8(_dot_T(wv_ref[:], x_i8), cv_ref[:], m_v, s_v)
+
+    d = qp8.shape[0] // heads
+    # Transposed logits (S_keys, S_q) per sequence/head — K @ Q^T via a
+    # dim-0 contraction of the (d, S) column slices; NO 1/sqrt(d).
+    logitT_parts = [
+        jax.lax.dot_general(
+            kp8[hd * d : (hd + 1) * d, i * seq : (i + 1) * seq],
+            qp8[hd * d : (hd + 1) * d, i * seq : (i + 1) * seq],
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32,
+        )
+        for i in range(nb)
+        for hd in range(heads)
+    ]
+    logitsT = (
+        logitT_parts[0] if len(logitT_parts) == 1
+        else jnp.concatenate(logitT_parts, axis=1)
+    )  # (S, nb*heads*S)
+    aT_i8 = _requant(
+        logitsT, iscal_ref[0, _IQK_MULT], iscal_ref[0, _IQK_SHIFT]
+    )
+    if softmax_mode == "streaming":
+        p8T = _integer_softmax_streaming_T_p8(aT_i8)
+    else:
+        p8T = _integer_softmax_T_p8(aT_i8)
+
+    m_av, s_av = iscal_ref[0, _IAV_MULT], iscal_ref[0, _IAV_SHIFT]
+    half_av = _requant_half(s_av)
+
+    def _ctx_block_T(i):
+        """ctx^T columns for sequence i: per-head V^T @ (A-128)^T plus
+        the exact 128*rowsum(v) offset compensation, heads stacked on
+        sublanes."""
+        parts = []
+        for hd in range(heads):
+            v_h = vp8[hd * d : (hd + 1) * d, i * seq : (i + 1) * seq]
+            cols2 = slice((i * heads + hd) * seq, (i * heads + hd + 1) * seq)
+            acc = jax.lax.dot_general(
+                v_h, p8T[:, cols2], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (d, S_q)
+            parts.append(
+                _requant_folded_i8(
+                    acc,
+                    128 * jnp.sum(
+                        v_h.astype(jnp.int32), axis=1, keepdims=True
+                    ) * m_av + half_av,
+                    m_av, s_av,
+                )
+            )
+        return parts[0] if heads == 1 else jnp.concatenate(parts, axis=0)
+
+    ctxT = (
+        _ctx_block_T(0) if nb == 1
+        else jnp.concatenate([_ctx_block_T(i) for i in range(nb)], axis=1)
+    )  # (P, nb*S) i8
+
+    attn_outT = _requant_folded(
+        _dot_T(wo_ref[:], ctxT), co_ref[:], m_o, s_o
+    )  # (E, L)
+
+    attn_f = attn_outT.astype(jnp.float32) * fscal_ref[0, _FS_ATTN_OUT]
+    h = _layer_norm_T(xT + attn_f, ln1_g_ref[:], ln1_b_ref[:])
+
+    h_i8 = _quantize(h, fscal_ref[0, _FS_FFN_IN])
+    # ReLU folded into the fc1 requant clip (exact; see
+    # encoder_core_batched).
+    ff1_relu = jnp.clip(
+        (_dot_T(w1_ref[:], h_i8) * m_1 + c1_ref[:])
+        >> jnp.clip(s_1, 0, 31),
+        0, 127,
+    )  # (F, L)
+    relu8 = _requant_folded_i8(
+        ff1_relu,
+        _requant_half(iscal_ref[0, _IRELU_SHIFT]),
+        iscal_ref[0, _IRELU_MULT], iscal_ref[0, _IRELU_SHIFT],
+    )
+    ff2 = _requant_folded(_dot_T(w2_ref[:], relu8), c2_ref[:], m_2, s_2)
+
+    ffn_f = ff2.astype(jnp.float32) * fscal_ref[0, _FS_FFN_OUT]
+    return _layer_norm_T(h + ffn_f, ln2_g_ref[:], ln2_b_ref[:])
+
+
+def _encoder_block_kernel_T(
+    softmax_mode,  # static: 'onepass' | 'streaming'
+    nb,            # static: sequences per grid step
+    seq,           # static: sequence length S
+    heads,         # static: attention heads
+    pre_ln,        # static: LayerNorm xT in-kernel (turbo fusion)
+    iscal_ref, fscal_ref,
+    x_ref,         # VMEM (E, nb*S) f32/bf16 — a lane slice of (E, B*S)
+    *w_refs,       # [pre-LN g/b (E,1),] weight/cvec/LN refs + out_ref
+):
+    out_ref = w_refs[-1]
+    w_refs = w_refs[:-1]
+    if pre_ln:
+        png_ref, pnb_ref = w_refs[:2]
+        w_refs = w_refs[2:]
+    x = x_ref[...].astype(jnp.float32)   # (E, nb*S) — no reshape needed
+    if pre_ln:
+        x = _layer_norm_T(x, png_ref[:], pnb_ref[:])
+    out = encoder_core_batched_T(
+        x, softmax_mode, nb, seq, iscal_ref, fscal_ref, *w_refs,
+        heads=heads,
+    )
+    out_ref[...] = out.astype(out_ref.dtype)
+
+
+def _fold_bias_cvec(b, mult, shift):
+    """Host-side _requant_folded constant: (b*mult + half) as an (N, 1)
+    i32 column (exact i32; the same fold encoder_core_batched does
+    in-kernel per call)."""
+    b = jnp.asarray(b, jnp.int32)
+    return (b * mult + _requant_half(shift))[:, None]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("seq", "interpret", "softmax_mode", "max_nb",
+                     "out_dtype"),
+)
+def ita_encoder_block_T(
+    xT: jax.Array,  # (E, B*S) f32/bf16 — channels-on-sublanes layout
+    attn: IntAttentionParams,
+    ffn: IntFFNParams,
+    ln1: dict,
+    ln2: dict,
+    *,
+    seq: int,
+    interpret: bool = False,
+    softmax_mode: str = "onepass",
+    max_nb: int = 8,
+    pre_ln: dict | None = None,
+    out_dtype=None,
+) -> jax.Array:
+    """Fused quantized encoder layer in the fully TRANSPOSED layout:
+    tokens arrive and leave as (E, B*S) with the folded batch on lanes
+    (producer: models/layers.tokenizer_tokens_factored_T; consumer: an
+    e-major precomposed tail matrix — quant/batched.make_tail
+    e_major=True). Integer region bit-identical to ita_encoder_block;
+    f32 LayerNorm differs only in reduction order (sublane-axis). See
+    encoder_core_batched_T for why: full 128-lane occupancy on every
+    glue/requant pass over the flagship's E=64/P=192 feature dims."""
+    if softmax_mode not in ("onepass", "streaming"):
+        raise ValueError(f"unknown softmax mode {softmax_mode!r}")
+    heads = attn.num_heads
+    e, ltot = xT.shape
+    if ltot % seq != 0:
+        raise ValueError(f"lane dim {ltot} not a multiple of seq {seq}")
+    b = ltot // seq
+    p = attn.q.w.shape[1]
+    f = ffn.fc1.w.shape[1]
+    if p % heads != 0:
+        raise ValueError(f"P={p} not divisible by H={heads}")
+    iscal, fscal = pack_block_scalars(attn, ffn)
+
+    def smem(shape):
+        return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+    def vmem_const(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    col = lambda n: vmem_const((n, 1))
+    nb = next(n for n in (max_nb, 8, 4, 2, 1) if n <= max_nb and b % n == 0)
+    xblock = (e, nb * seq)
+    pre_ln_specs = [col(e), col(e)] if pre_ln is not None else []
+    pre_ln_args = (
+        [
+            jnp.asarray(pre_ln["g"], jnp.float32)[:, None],
+            jnp.asarray(pre_ln["b"], jnp.float32)[:, None],
+        ]
+        if pre_ln is not None
+        else []
+    )
+    colf = lambda v: jnp.asarray(v, jnp.float32)[:, None]
+    return pl.pallas_call(
+        functools.partial(
+            _encoder_block_kernel_T, softmax_mode, nb, seq, heads,
+            pre_ln is not None,
+        ),
+        grid=(b // nb,),
+        in_specs=[
+            smem((1, N_ISCALARS)),
+            smem((1, N_FSCALARS)),
+            pl.BlockSpec(xblock, lambda i: (0, i), memory_space=pltpu.VMEM),
+            *pre_ln_specs,
+            vmem_const((e, p)), col(p),
+            vmem_const((e, p)), col(p),
+            vmem_const((e, p)), col(p),
+            vmem_const((p, e)), col(e),
+            vmem_const((e, f)), col(f),
+            vmem_const((f, e)), col(e),
+            col(e), col(e), col(e), col(e),
+        ],
+        out_specs=pl.BlockSpec(
+            xblock, lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((e, ltot), out_dtype or jnp.float32),
+        interpret=interpret,
+    )(
+        iscal, fscal, xT,
+        *pre_ln_args,
+        attn.q.w, _fold_bias_cvec(attn.q.b, attn.q.mult, attn.q.shift),
+        attn.k.w, _fold_bias_cvec(attn.k.b, attn.k.mult, attn.k.shift),
+        attn.v.w, _fold_bias_cvec(attn.v.b, attn.v.mult, attn.v.shift),
+        attn.o.w, _fold_bias_cvec(attn.o.b, attn.o.mult, attn.o.shift),
+        ffn.fc1.w, _fold_bias_cvec(ffn.fc1.b, ffn.fc1.mult, ffn.fc1.shift),
+        ffn.fc2.w, _fold_bias_cvec(ffn.fc2.b, ffn.fc2.mult, ffn.fc2.shift),
+        colf(ln1["g"]), colf(ln1["b"]),
+        colf(ln2["g"]), colf(ln2["b"]),
+    )
 
 
 def _encoder_block_kernel(

@@ -61,7 +61,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...utils.image import _interp_matrix
-from .ita_kernel import N_ISCALARS, _layer_norm, encoder_core, pack_block_scalars
+from .ita_kernel import (
+    N_ISCALARS,
+    _layer_norm,
+    encoder_core,
+    encoder_core_batched,
+    pack_block_scalars,
+)
 
 # fscal layout: encoder scales 0..3 (ita_kernel._FS_*), then serve scalars.
 _FS_VEL, _FS_POSX = 4, 5
@@ -439,6 +445,223 @@ def _megakernel(
         for layer in range(3):
             h_out_ref[layer] = hs[layer]
             c_out_ref[layer] = cs[layer]
+
+
+def _lstm_head_postprocess_rows(
+    dec, wblk, wscale, b0, b1, b2, whead, bhead, extra, h, c,
+    desired_vel, pos_x
+):
+    """Batched twin of _lstm_head_postprocess: dec (K, 512), extra
+    (K, 5), h/c (3, K, 128), desired_vel/pos_x (K, 1) -> (cmd (K, 3),
+    3x h' (K, 128), 3x c'). Identical math per row (the fleet serves K
+    independent drones; the LSTM/head GEMMs just gain K MXU rows); the
+    velocity postprocess is pipeline/serve.postprocess_velocity
+    vectorized on (K, 1) columns."""
+    f32, bf = jnp.float32, jnp.bfloat16
+
+    def wdot(x, r0, nrows, srow):
+        y = jnp.dot(
+            x.astype(bf), wblk[r0 : r0 + nrows].astype(bf),
+            preferred_element_type=f32,
+        )
+        return y * wscale[srow][None, :]
+
+    g0 = (
+        wdot(dec, _L_IH0A, 512, _S_IH0A)
+        + wdot(extra, _L_IH0B, 5, _S_IH0B)
+        + wdot(h[0], _L_HH0, 128, _S_HH0)
+        + b0[0]
+    )
+    h0, c0 = _lstm_cell(g0, h[0], c[0])
+    g1 = wdot(h0, _L_IH1, 128, _S_IH1) + wdot(h[1], _L_HH1, 128, _S_HH1) + b1[0]
+    h1, c1 = _lstm_cell(g1, h[1], c[1])
+    g2 = wdot(h1, _L_IH2, 128, _S_IH2) + wdot(h[2], _L_HH2, 128, _S_HH2) + b2[0]
+    h2, c2 = _lstm_cell(g2, h[2], c[2])
+    cmd = jnp.dot(h2, whead, preferred_element_type=f32) + bhead[0]  # (K, 3)
+
+    vx = jnp.clip(cmd[:, 0:1], -1.0, 1.0)
+    vy, vz = cmd[:, 1:2], cmd[:, 2:3]
+    norm = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+    scale = jnp.where(norm > 0, desired_vel / norm, desired_vel)
+    vx_n, vy_n, vz_n = vx * scale, vy * scale, vz * scale
+    vx_floor = jnp.maximum(1.0, pos_x / 2.0 * desired_vel)
+    vx_out = jnp.where(pos_x < 2.0, vx_floor, vx_n)
+    out = jnp.concatenate([vx_out, vy_n, vz_n], axis=1)  # (K, 3)
+    return out, (h0, h1, h2), (c0, c1, c2)
+
+
+def _megakernel_fleet(
+    softmax_mode,   # static
+    k, seq, e, fw,  # static dims: fleet capacity K, S, E, fusion width
+    iscal_ref,      # SMEM (1, 20) i32
+    fscal_ref,      # SMEM (1, 4) f32 — encoder quant scales only
+    x_ref,          # VMEM (K, S, E) f32 — pre-LN tokens, K frames
+    tokg_ref, tokb_ref,
+    wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+    wo_ref, bo_ref, w1_ref, b1f_ref, w2_ref, b2f_ref,
+    ln1g_ref, ln1b_ref, ln2g_ref, ln2b_ref,
+    gsel_ref, psel_ref, umat_ref, ktaps_ref, masks_ref,
+    wpack_ref,      # VMEM (1, 1536, 512) i8/bf16 — this step's block
+    wscale_ref,     # VMEM (8, 512) f32
+    bdec_ref, b0_ref, b1_ref, b2_ref, whead_ref, bhead_ref,
+    quat_ref,       # VMEM (K, 4) f32
+    vel_ref,        # VMEM (K, 1) f32 — per-drone desired velocity
+    posx_ref,       # VMEM (K, 1) f32
+    h_ref, c_ref,   # VMEM (3, K, 128) f32
+    cmd_ref, h_out_ref, c_out_ref,
+    outT_ref,       # scratch VMEM (9, K, fh*fw) f32 — conv out per channel
+    dec_ref,        # scratch VMEM (K, 512) f32
+):
+    """Fleet megakernel: K drones per launch, same grid-(4,) weight
+    streaming as _megakernel. The batch-1 megakernel amortizes nothing —
+    a capacity-K fleet tick through it costs K x (fixed overhead +
+    weight stream). Here the encoder runs the batched core (nb=K folded
+    rows), the fusion loops per frame (its matmuls are per-frame by
+    construction), and the decoder/LSTM GEMMs gain K MXU rows for free —
+    the weight DMA (the b1 step's dominant cost) is paid ONCE for the
+    whole fleet."""
+    i = pl.program_id(0)
+    f32 = jnp.float32
+
+    @pl.when(i == 0)
+    def _tokenize_encode_fuse():
+        x = x_ref[...].reshape(k * seq, e)
+        tokens = _layer_norm(x, tokg_ref[0], tokb_ref[0])  # (K*S, E)
+        xe = encoder_core_batched(
+            tokens, softmax_mode, k, seq, iscal_ref, fscal_ref,
+            wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+            wo_ref, bo_ref, w1_ref, b1f_ref, w2_ref, b2f_ref,
+            ln1g_ref, ln1b_ref, ln2g_ref, ln2b_ref,
+        )  # (K*S, E)
+        accs = []
+        for kk in range(k):
+            y_t = jnp.transpose(
+                xe[kk * seq : (kk + 1) * seq], (1, 0)
+            )  # (E, S)
+            accs.append(
+                _fusion_transposed(
+                    y_t, gsel_ref[...], psel_ref[...], umat_ref[...],
+                    ktaps_ref[...], masks_ref[...], fw,
+                )
+            )  # (9, fh*fw)
+        for ch in range(9):
+            outT_ref[ch] = jnp.concatenate(
+                [accs[kk][ch : ch + 1] for kk in range(k)], axis=0
+            )  # (K, fh*fw)
+        dec_ref[...] = jnp.broadcast_to(bdec_ref[...], (k, 512))
+
+    @pl.when(i < 3)
+    def _decoder_group():
+        wblk = wpack_ref[0]
+        part = None
+        for j in range(3):
+            grp = outT_ref[jnp.minimum(i, 2) * 3 + j]  # (K, fh*fw)
+            term = jnp.dot(
+                grp.astype(jnp.bfloat16),
+                wblk[j * 512 : (j + 1) * 512].astype(jnp.bfloat16),
+                preferred_element_type=f32,
+            )
+            part = term if part is None else part + term
+        dec_ref[...] += part * wscale_ref[_S_DEC][None, :]
+
+    @pl.when(i == 3)
+    def _tail():
+        extra = jnp.concatenate(
+            [vel_ref[...] / 10.0, quat_ref[...]], axis=1
+        )  # (K, 5)
+        cmd, hs, cs = _lstm_head_postprocess_rows(
+            dec_ref[...], wpack_ref[0], wscale_ref[...],
+            b0_ref[...], b1_ref[...], b2_ref[...],
+            whead_ref[...], bhead_ref[...],
+            extra, h_ref[...], c_ref[...],
+            vel_ref[...], posx_ref[...],
+        )
+        cmd_ref[...] = cmd
+        for layer in range(3):
+            h_out_ref[layer] = hs[layer]
+            c_out_ref[layer] = cs[layer]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "softmax_mode"))
+def flagship_fused_step_fleet(
+    kp: FlagshipKernelParams,
+    tokens: jax.Array,       # (K, S, E) f32 — PRE-LN tokens per drone
+    desired_vel: jax.Array,  # (K,) f32
+    pos_x: jax.Array,        # (K,) f32
+    quat: jax.Array,         # (K, 4) f32
+    h: jax.Array,            # (3, K, 128) f32
+    c: jax.Array,
+    interpret: bool = False,
+    softmax_mode: str = "onepass",
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Fleet-capacity megakernel step: K frames -> K POSTPROCESSED
+    commands + states, ONE launch, one weight stream (same
+    FlagshipKernelParams as the batch-1 step). K must be a multiple of 8
+    (f32 sublane tile of the per-channel conv-output planes)."""
+    k, seq, e = tokens.shape
+    if k % 8 != 0:
+        raise ValueError(f"fleet megakernel capacity {k} not a multiple of 8")
+    fhw = kp.umat.shape[1]
+    fw = 2 * 16
+
+    def smem(shape):
+        return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+    def const(shape):
+        return pl.BlockSpec(
+            shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+        )
+
+    cmd, h_new, c_new = pl.pallas_call(
+        functools.partial(_megakernel_fleet, softmax_mode, k, seq, e, fw),
+        grid=(4,),
+        in_specs=[
+            smem((1, N_ISCALARS)),
+            smem(kp.fscal.shape),
+            const(tokens.shape),
+            const(kp.tokg.shape), const(kp.tokb.shape),
+            *[const(w.shape) for w in kp.enc],
+            const(kp.gsel.shape), const(kp.psel.shape), const(kp.umat.shape),
+            const(kp.ktaps.shape), const(kp.masks.shape),
+            pl.BlockSpec(
+                (1, _WPACK_ROWS, kp.wpack.shape[2]), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            const(kp.wscale.shape),
+            const(kp.bdec.shape),
+            const(kp.b0.shape), const(kp.b1.shape), const(kp.b2.shape),
+            const(kp.whead.shape), const(kp.bhead.shape),
+            const((k, 4)), const((k, 1)), const((k, 1)),
+            const(h.shape), const(c.shape),
+        ],
+        out_specs=(
+            const((k, 3)), const(h.shape), const(c.shape),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((k, 3), jnp.float32),
+            jax.ShapeDtypeStruct(h.shape, jnp.float32),
+            jax.ShapeDtypeStruct(c.shape, jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((9, k, fhw), jnp.float32),
+            pltpu.VMEM((k, kp.wpack.shape[2]), jnp.float32),
+        ],
+        input_output_aliases={37: 1, 38: 2},
+        interpret=interpret,
+    )(
+        kp.iscal, kp.fscal, tokens,
+        kp.tokg, kp.tokb,
+        *kp.enc,
+        kp.gsel, kp.psel, kp.umat, kp.ktaps, kp.masks,
+        kp.wpack, kp.wscale, kp.bdec,
+        kp.b0, kp.b1, kp.b2,
+        kp.whead, kp.bhead,
+        quat,
+        desired_vel.astype(jnp.float32)[:, None],
+        pos_x.astype(jnp.float32)[:, None],
+        h, c,
+    )
+    return cmd, h_new, c_new
 
 
 def megakernel_reference(

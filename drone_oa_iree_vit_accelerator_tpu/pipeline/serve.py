@@ -356,6 +356,45 @@ def make_fleet_step(cfg: ModelConfig, path: str = "auto", mesh=None,
                             softmax_mode=softmax_mode)
 
 
+def make_fleet_mega_step(cfg: ModelConfig, softmax_mode: str = "onepass"):
+    """Fleet-capacity MEGAKERNEL serving step: the whole fleet's tick is
+    ONE pallas launch + one weight stream (ops/pallas/model_kernel.
+    flagship_fused_step_fleet). Same signature as make_fleet_step so
+    FleetEngine can swap it in — but the params slot carries the
+    precomputed FlagshipKernelParams (int_params/tail slots unused).
+
+    Why: the turbo fleet tick at small capacity is launch-overhead-bound
+    (capacity-8: 25.5 us for work the b1 megakernel shows is ~3 us of
+    marginal compute); the megakernel already pays ONE fixed cost + one
+    3.15 MB weight stream per launch, so folding all K slots into that
+    single launch serves the fleet at nearly batch-1 latency."""
+    from ..models import layers as L
+    from ..ops.pallas.model_kernel import flagship_fused_step_fleet
+
+    interp = jax.default_backend() != "tpu"
+
+    def step(kp, _ip, _tail, frames_u8, vel, pos_x, quat, active, state):
+        frames = frames_u8.astype(jnp.float32)[:, None, :, :] / 255.0
+        tokens = L.tokenizer_preln_nhwc(frames, kp.tok, cfg)  # (K, S, E)
+        # Layout anchor (see make_serving_step 'mega'): keep the conv in
+        # XLA's fast form by giving it a matmul consumer.
+        eye = jnp.eye(tokens.shape[-1], dtype=tokens.dtype)
+        tokens = jax.lax.dot_general(
+            tokens, eye, (((2,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        cmds, h, c = flagship_fused_step_fleet(
+            kp, tokens, vel, pos_x, quat, state.h, state.c,
+            interpret=interp, softmax_mode=softmax_mode,
+        )
+        m = active[None, :, None]
+        return cmds, M.LSTMState(
+            jnp.where(m, h, state.h), jnp.where(m, c, state.c)
+        )
+
+    return jax.jit(step, donate_argnums=(8,))
+
+
 def _make_turbo_step(cfg: ModelConfig, path: str, masked: bool, mesh=None,
                      softmax_mode: str = "onepass"):
     """Shared builder behind make_batched_serving_step (masked=False)
@@ -366,7 +405,11 @@ def _make_turbo_step(cfg: ModelConfig, path: str, masked: bool, mesh=None,
 
     if path == "auto":
         path = "turbo" if cfg.H == 1 else "turbo_int8"
-    encoder = {"turbo": "pallas", "turbo_int8": "int8"}[path]
+    # 'turbo' routes to the TRANSPOSED pipeline (encoder='pallas_T',
+    # measured 916 -> 764 us/step at b1024 — docs/turbo_T_report.json);
+    # build the tail with make_tail(..., e_major=True) to avoid the
+    # per-call row-permute fallback.
+    encoder = {"turbo": "pallas_T", "turbo_int8": "int8"}[path]
     # Interpret-mode keys off where the step will RUN: the mesh's device
     # platform when sharded (a CPU dry-run mesh can coexist with a TPU
     # default backend), else the default backend.
@@ -377,7 +420,7 @@ def _make_turbo_step(cfg: ModelConfig, path: str, masked: bool, mesh=None,
 
     def core(params, int_params, tail, frames_u8, vel, pos_x, quat, state):
         frames = frames_u8.astype(jnp.float32)[:, None, :, :] / 255.0
-        kw = {"interpret": interp} if encoder == "pallas" else {}
+        kw = {"interpret": interp} if encoder.startswith("pallas") else {}
         kw["softmax_mode"] = softmax_mode
         cmd, new_state = turbo_forward(
             cfg, params, int_params, tail, frames, vel[:, None], quat,
@@ -475,12 +518,43 @@ class FleetEngine:
         params, int_params = _resolve_params(
             cfg, params, int_params, checkpoint_dir
         )
-        self.tail = make_tail(cfg, params)
-        self.params = M.freeze_for_inference(cfg, params)
-        self.int_params = int_params
-        self.step = make_fleet_step(
-            cfg, path, mesh=mesh, softmax_mode=softmax_mode
+        # e-major tail: the 'turbo' route runs the transposed pipeline.
+        self.tail = make_tail(
+            cfg, params,
+            e_major=(path in ("auto", "turbo") and cfg.H == 1),
         )
+        if path == "mega":
+            # Whole-fleet megakernel: one launch + one weight stream per
+            # tick (flagship config only; the kernel's conv-output planes
+            # need capacity % 8 == 0; per-slot DP sharding unsupported —
+            # the kernel IS the whole fleet).
+            from ..core.config import FusionKind
+            from ..ops.pallas.model_kernel import (
+                make_flagship_kernel_params,
+            )
+
+            if mesh is not None:
+                raise ValueError("path='mega' does not support mesh=")
+            if cfg.fusion is not FusionKind.PXSHUFFLE_UPSAMPLE or cfg.H != 1:
+                raise ValueError(
+                    f"path='mega' fleet serving supports the flagship "
+                    f"config only, got {cfg.name}"
+                )
+            if capacity % 8 != 0:
+                raise ValueError(
+                    f"path='mega' needs capacity % 8 == 0, got {capacity}"
+                )
+            self.params = make_flagship_kernel_params(
+                cfg, params, int_params
+            )
+            self.int_params = int_params
+            self.step = make_fleet_mega_step(cfg, softmax_mode=softmax_mode)
+        else:
+            self.params = M.freeze_for_inference(cfg, params)
+            self.int_params = int_params
+            self.step = make_fleet_step(
+                cfg, path, mesh=mesh, softmax_mode=softmax_mode
+            )
         self.state = M.zero_state(cfg, capacity)
         self.slots: dict = {}       # client id -> slot index
         self.last_seen: dict = {}   # client id -> monotonic seconds

@@ -42,20 +42,42 @@ class TailMatrix(NamedTuple):
     b: jax.Array  # (decoder_out,)
 
 
+class TailMatrixT(NamedTuple):
+    """A tail whose rows are in (e*S + s) order — the layout the
+    TRANSPOSED turbo pipeline (encoder='pallas_T') flattens to. A
+    distinct type so a mismatched tail/encoder pairing fails loudly at
+    trace time instead of silently decoding garbage."""
+
+    w: jax.Array  # (E*S, decoder_out), e-major rows
+    b: jax.Array  # (decoder_out,)
+
+
 def make_tail(cfg: ModelConfig, params: dict,
-              dtype=jnp.bfloat16) -> TailMatrix:
+              dtype=jnp.bfloat16, e_major: bool = False) -> TailMatrix:
     """Build the precomposed fusion+decoder matrix for the turbo path.
 
     For FLATTEN-fusion configs (ITA base / single_layer / upsample_
     shuffle) the fusion is the identity reshape, so the tail IS the
-    (frozen) decoder weight."""
+    (frozen) decoder weight.
+
+    ``e_major=True`` permutes the rows from the (s*E + e) token-flatten
+    order to (e*S + s) — the order the TRANSPOSED encoder pipeline
+    (encoder='pallas_T') reaches with a tile-cheap major-axis transpose
+    instead of a minor-axis relayout. Values are identical; build the
+    tail to match the encoder layout you deploy."""
     if cfg.fusion is FusionKind.FLATTEN:
         fp = M.freeze_for_inference(cfg, params)
         dec = fp["decoder"]
-        return TailMatrix(
-            w=dec["w"].astype(dtype), b=dec["b"].astype(jnp.float32)
+        w, b = dec["w"], dec["b"]
+    else:
+        w, b = M.make_tail_matrix(cfg, params)
+    if e_major:
+        w = (
+            w.reshape(cfg.S, cfg.E, w.shape[-1])
+            .transpose(1, 0, 2)
+            .reshape(cfg.S * cfg.E, w.shape[-1])
         )
-    w, b = M.make_tail_matrix(cfg, params)
+        return TailMatrixT(w=w.astype(dtype), b=b.astype(jnp.float32))
     return TailMatrix(w=w.astype(dtype), b=b.astype(jnp.float32))
 
 
@@ -69,7 +91,7 @@ def turbo_forward(
     quat: jax.Array,           # (B, 4)
     state: M.LSTMState | None = None,
     *,
-    encoder: str = "pallas",   # 'pallas' | 'int8'
+    encoder: str = "pallas",   # 'pallas' | 'pallas_T' | 'int8'
     glue_dtype=jnp.bfloat16,
     softmax_mode: str = "onepass",
     interpret: bool = False,
@@ -93,7 +115,59 @@ def turbo_forward(
         frame, params["tokenizer"], cfg, dtype=gd
     )
 
+    if isinstance(tail, TailMatrixT) and encoder != "pallas_T":
+        raise ValueError(
+            "e-major tail (make_tail e_major=True) requires "
+            f"encoder='pallas_T', got encoder={encoder!r}"
+        )
+
     # Encoder: the bit-exact int8 region.
+    if encoder == "pallas_T":
+        # Fully transposed pipeline: tokens (E, B*S) straight from the
+        # stage-3 tokenizer GEMM, the channels-on-sublanes kernel (full
+        # 128-lane VPU occupancy on every glue/requant/LN pass — see
+        # encoder_core_batched_T), and an e-major tail whose (B, E*S)
+        # operand needs only a tile-cheap major-axis transpose.
+        # Measured (docs/turbo_T_report.json, v5e device traces, b1024):
+        # 916 -> 764 us/step onepass (1.340 M fps), 949 -> 791 streaming.
+        # Build the tail with make_tail(..., e_major=True); a row-major
+        # TailMatrix is accepted but row-permuted per call (correct,
+        # slower — an 8 MB gather inside jit).
+        from ..ops.pallas.ita_kernel import ita_encoder_block_T
+
+        if not isinstance(tail, TailMatrixT):
+            tail = TailMatrixT(
+                w=tail.w.reshape(cfg.S, cfg.E, -1)
+                .transpose(1, 0, 2)
+                .reshape(cfg.S * cfg.E, -1),
+                b=tail.b,
+            )
+
+        xT = L.tokenizer_tokens_factored_T(
+            frame, params["tokenizer"], cfg, dtype=gd
+        ).astype(gd)
+        for i in range(cfg.num_layers):
+            blk = params["blocks"][i]
+            xT = ita_encoder_block_T(
+                xT, int_params["attn"][i], int_params["ffn"][i],
+                blk["ln1"], blk["ln2"],
+                seq=cfg.S, interpret=interpret, softmax_mode=softmax_mode,
+                max_nb=max_nb,
+                pre_ln=params["tokenizer"]["ln"] if i == 0 else None,
+                out_dtype=gd if i == cfg.num_layers - 1 else None,
+            )
+        x = (
+            xT.reshape(cfg.E, b, cfg.S)
+            .transpose(1, 0, 2)          # minor dim unchanged: tile copy
+            .reshape(b, cfg.E * cfg.S)   # e-major flatten (matches tail)
+        )
+        dec = jax.lax.dot_general(
+            x.astype(tail.w.dtype), tail.w,
+            (((1,), (0,)), ((), ())), preferred_element_type=f32,
+        ) + tail.b
+        return _turbo_head(
+            cfg, params, dec, vel, quat, state, gd=gd, f32=f32
+        )
     if encoder == "pallas":
         from ..ops.pallas.ita_kernel import ita_encoder_block
 
@@ -138,8 +212,13 @@ def turbo_forward(
         x.reshape(b, cfg.S * cfg.E).astype(tail.w.dtype), tail.w,
         (((1,), (0,)), ((), ())), preferred_element_type=f32,
     ) + tail.b
+    return _turbo_head(cfg, params, dec, vel, quat, state, gd=gd, f32=f32)
 
-    # LSTM + head in the glue dtype (state stays f32 at the boundary).
+
+def _turbo_head(cfg, params, dec, vel, quat, state, *, gd, f32):
+    """LSTM + spectral-norm head in the glue dtype (state stays f32 at
+    the boundary) — shared by the row-major and transposed turbo
+    pipelines."""
     demote = lambda t: jax.tree_util.tree_map(
         lambda a: a.astype(gd) if a.dtype == f32 else a, t
     )

@@ -112,7 +112,7 @@ def evaluate(
     ):
         from ..quant.batched import make_tail
 
-        int_params = (int_params, make_tail(cfg, params))
+        int_params = (int_params, make_tail(cfg, params, e_major=True))
     if path == "mega" and not hasattr(params, "tok"):
         # The megakernel consumes its packed operand pytree, exactly as
         # the serving engine deploys it (pipeline/serve.py path='mega').

@@ -72,6 +72,7 @@ def _policy_step(cfg, params, int_params, images_u8, vel_des, state, path,
         interp = jax.default_backend() != "tpu"
         cmd, new_state = turbo_forward(
             cfg, params, ip, tail, frames, vel_des[:, None], quat, state,
+            encoder="pallas_T",
             interpret=interp, softmax_mode=softmax_mode,
         )
     elif path == "mega":

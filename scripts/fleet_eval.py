@@ -87,7 +87,7 @@ def main() -> None:
     worlds = sample_worlds(jax.random.PRNGKey(HELDOUT_SEED), args.drones, wcfg)
 
     # In-jit reference rollout (same math as the fleet step: turbo path).
-    tail = make_tail(CFG, params)
+    tail = make_tail(CFG, params, e_major=True)
     t0 = time.time()
     ref = jax.block_until_ready(
         jax.jit(

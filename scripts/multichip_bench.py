@@ -133,7 +133,7 @@ def turbo_serve_section(mode: str) -> None:
     ckpt = pathlib.Path(__file__).resolve().parents[1] / "checkpoints"
     if (ckpt / "model_int8.npz").exists():
         int_like = params_io.load_params(str(ckpt / "model_int8.npz"), int_like)
-    tail = make_tail(CFG, params)
+    tail = make_tail(CFG, params, e_major=True)
     params = M.freeze_for_inference(CFG, params)
 
     b = 1024 if mode == "tpu1" else 64
@@ -142,7 +142,7 @@ def turbo_serve_section(mode: str) -> None:
     def fwd(p, ip, t, f_u8, v, q, s):
         f = f_u8.astype(jnp.float32) / 255.0
         return turbo_forward(
-            CFG, p, ip, t, f, v, q, s, encoder="pallas", interpret=interp,
+            CFG, p, ip, t, f, v, q, s, encoder="pallas_T", interpret=interp,
             max_nb=8,
         )
 

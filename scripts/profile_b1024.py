@@ -76,11 +76,11 @@ def main() -> None:
                 turbo_forward,
             )
 
-            tail = make_tail(CFG, params)
+            tail = make_tail(CFG, params, e_major=True)
 
             def fwd(p, ip, f, v, q, s):
                 return turbo_forward(
-                    CFG, p, ip, tail, f, v, q, s, encoder="pallas", max_nb=8
+                    CFG, p, ip, tail, f, v, q, s, encoder="pallas_T", max_nb=8
                 )
         else:
             fwd = lambda p, ip, f, v, q, s: M.forward(

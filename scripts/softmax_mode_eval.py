@@ -90,7 +90,7 @@ def bench_turbo_b1024(params, int_params, tail, mode: str) -> dict:
     def tstep(p, ip, frame_u8, vel, quat, s):
         return turbo_forward(
             CFG, p, ip, tail, frame_u8.astype(f32) / 255.0, vel, quat, s,
-            encoder="pallas", softmax_mode=mode,
+            encoder="pallas_T", softmax_mode=mode,
         )
 
     def targs():
@@ -133,7 +133,7 @@ def main() -> None:
 
     frozen = M.freeze_for_inference(CFG, params)
     kp = make_flagship_kernel_params(CFG, frozen, int_params)
-    tail = make_tail(CFG, params)
+    tail = make_tail(CFG, params, e_major=True)
     wcfg = WorldConfig()
 
     report: dict = {"modes": {}}

@@ -131,13 +131,14 @@ def bench_config(name: str, cfg) -> dict:
     # Batched throughput at b1024 with the measured-best routing
     # (turbo/pallas for H==1 configs, turbo_int8 golden encoder for H>1
     # — the same policy as make_batched_serving_step).
-    encoder = "pallas" if cfg.H == 1 else "int8"
+    encoder = "pallas_T" if cfg.H == 1 else "int8"
+    ttail = make_tail(cfg, params, e_major=True) if cfg.H == 1 else tail
     b, ncalls = 1024, 10
 
     @jax.jit
     def tstep(p, ip, frame_u8, vel, quat, s):
         return turbo_forward(
-            cfg, p, ip, tail, frame_u8.astype(f32) / 255.0, vel, quat, s,
+            cfg, p, ip, ttail, frame_u8.astype(f32) / 255.0, vel, quat, s,
             encoder=encoder,
         )
 

@@ -270,3 +270,133 @@ def test_turbo_head_spectral_norm_gated_on_config():
     # Relative agreement: a 2.2x head scaling fails this decisively.
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=0.05, atol=1e-4)
+
+
+@pytest.mark.parametrize("mode", ["onepass", "streaming"])
+def test_transposed_core_bit_identical_to_batched_core(setup, mode):
+    """encoder_core_batched_T (channels-on-sublanes layout) == the
+    row-major batched core, interpret mode: same integer ops per
+    element; the f32 LN reduces the same 64 values (XLA interpret
+    evaluates both orders identically — the on-TPU drive re-checks
+    compiled parity at reduction-order tolerance)."""
+    params, int_params = setup
+    from drone_oa_iree_vit_accelerator_tpu.ops.pallas.ita_kernel import (
+        ita_encoder_block,
+        ita_encoder_block_T,
+    )
+
+    blk = params["blocks"][0]
+    b = 8
+    x = jax.random.normal(jax.random.PRNGKey(4), (b, 128, 64), jnp.float32)
+    xT = jnp.transpose(x, (2, 0, 1)).reshape(CFG.E, b * CFG.S)
+    ref = ita_encoder_block(
+        x, int_params["attn"][0], int_params["ffn"][0], blk["ln1"],
+        blk["ln2"], interpret=True, softmax_mode=mode, batched_core=True,
+    )
+    gotT = ita_encoder_block_T(
+        xT, int_params["attn"][0], int_params["ffn"][0], blk["ln1"],
+        blk["ln2"], seq=CFG.S, interpret=True, softmax_mode=mode,
+    )
+    got = jnp.transpose(
+        gotT.reshape(CFG.E, b, CFG.S), (1, 2, 0)
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_transposed_block_pre_ln_and_out_dtype(setup):
+    """The T-block's turbo extras (in-kernel pre-LN, bf16 out) match
+    applying LN outside + casting outside."""
+    params, int_params = setup
+    from drone_oa_iree_vit_accelerator_tpu.ops.pallas.ita_kernel import (
+        ita_encoder_block_T,
+    )
+
+    blk = params["blocks"][0]
+    pln = params["tokenizer"]["ln"]
+    b = 4
+    x = jax.random.normal(jax.random.PRNGKey(9), (b, 128, 64), jnp.float32)
+    xT = jnp.transpose(x, (2, 0, 1)).reshape(CFG.E, b * CFG.S)
+    ln_then = ita_encoder_block_T(
+        jnp.transpose(
+            L.layer_norm(x, pln), (2, 0, 1)
+        ).reshape(CFG.E, b * CFG.S),
+        int_params["attn"][0], int_params["ffn"][0], blk["ln1"],
+        blk["ln2"], seq=CFG.S, interpret=True, max_nb=4,
+    )
+    fused = ita_encoder_block_T(
+        xT, int_params["attn"][0], int_params["ffn"][0], blk["ln1"],
+        blk["ln2"], seq=CFG.S, interpret=True, max_nb=4, pre_ln=pln,
+    )
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ln_then),
+                               rtol=1e-5, atol=1e-5)
+    out16 = ita_encoder_block_T(
+        xT, int_params["attn"][0], int_params["ffn"][0], blk["ln1"],
+        blk["ln2"], seq=CFG.S, interpret=True, max_nb=4,
+        out_dtype=jnp.bfloat16,
+    )
+    base = ita_encoder_block_T(
+        xT, int_params["attn"][0], int_params["ffn"][0], blk["ln1"],
+        blk["ln2"], seq=CFG.S, interpret=True, max_nb=4,
+    )
+    assert out16.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(out16), np.asarray(base.astype(jnp.bfloat16))
+    )
+
+
+def test_tokenizer_factored_T_matches_row_major(setup):
+    """tokenizer_tokens_factored_T == the row-major factored tokenizer
+    (same stage-1/2 GEMMs; the stage-3 dot contracts the same taps)."""
+    params, _ = setup
+    b = 4
+    x = jax.random.uniform(jax.random.PRNGKey(11), (b, 1, 60, 90))
+    tok = L.tokenizer_tokens_factored(x, params["tokenizer"], CFG)
+    tokT = L.tokenizer_tokens_factored_T(x, params["tokenizer"], CFG)
+    got = jnp.transpose(tokT.reshape(CFG.E, b, CFG.S), (1, 2, 0))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(tok),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_make_tail_e_major_is_row_permutation(setup):
+    """make_tail(e_major=True) is exactly the (s*E+e) -> (e*S+s) row
+    permutation of the standard tail."""
+    params, _ = setup
+    tail = make_tail(CFG, params, dtype=jnp.float32)
+    tailT = make_tail(CFG, params, dtype=jnp.float32, e_major=True)
+    back = (
+        np.asarray(tailT.w)
+        .reshape(CFG.E, CFG.S, -1)
+        .transpose(1, 0, 2)
+        .reshape(CFG.S * CFG.E, -1)
+    )
+    np.testing.assert_array_equal(back, np.asarray(tail.w))
+    np.testing.assert_array_equal(np.asarray(tailT.b), np.asarray(tail.b))
+
+
+@pytest.mark.parametrize("mode", ["onepass", "streaming"])
+def test_turbo_pallas_T_matches_pallas(setup, mode):
+    """The fully transposed turbo pipeline (tokenizer_T -> T-kernel ->
+    e-major tail) matches the row-major turbo pipeline end to end."""
+    params, int_params = setup
+    fp = M.freeze_for_inference(CFG, params)
+    tail = make_tail(CFG, params, dtype=jnp.float32)
+    tailT = make_tail(CFG, params, dtype=jnp.float32, e_major=True)
+    b = 4
+    frame = jax.random.uniform(jax.random.PRNGKey(12), (b, 1, 60, 90))
+    vel = jnp.ones((b, 1))
+    quat = jnp.zeros((b, 4)).at[:, 0].set(1.0)
+    state = M.zero_state(CFG, b)
+    ref, st_ref = turbo_forward(
+        CFG, fp, int_params, tail, frame, vel, quat, state,
+        encoder="pallas", interpret=True, glue_dtype=jnp.float32,
+        softmax_mode=mode,
+    )
+    got, st = turbo_forward(
+        CFG, fp, int_params, tailT, frame, vel, quat, state,
+        encoder="pallas_T", interpret=True, glue_dtype=jnp.float32,
+        softmax_mode=mode,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st.h), np.asarray(st_ref.h),
+                               rtol=1e-4, atol=1e-5)

@@ -292,3 +292,45 @@ def test_fleet_udp_overflow_degrades_to_known_clients():
         for s in (sa, sb, sc):
             s.close()
         th.join(timeout=5.0)
+
+
+def test_fleet_mega_matches_turbo_fleet():
+    """path='mega' (whole-fleet megakernel, one launch + one weight
+    stream per tick) tracks the turbo fleet engine at glue tolerance on
+    the same params, and is deterministic across twin engines
+    (bit-equal commands)."""
+    import jax
+    import jax.numpy as jnp
+    from drone_oa_iree_vit_accelerator_tpu.models import vit_lstm as M
+    from drone_oa_iree_vit_accelerator_tpu import quant as QZ
+
+    key = jax.random.PRNGKey(0)
+    params = M.init_params(CFG, key)
+    int_params, _ = QZ.calibrate_ptq(
+        CFG, params, jax.random.randint(key, (4, 1, 60, 90), 0, 256,
+                                        jnp.uint8)
+    )
+    mk = lambda path: FleetEngine(
+        CFG, params=params, int_params=int_params, capacity=8,
+        path=path, idle_reset_s=3600.0,
+    )
+    eng_mega, eng_twin, eng_turbo = mk("mega"), mk("mega"), mk("turbo")
+    for t in range(2):
+        items = [("A", _frame(300 + t)), ("B", _frame(400 + t, pos_x=0.5))]
+        got = eng_mega.process_batch(items)
+        twin = eng_twin.process_batch(items)
+        ref = eng_turbo.process_batch(items)
+        for cid in ("A", "B"):
+            np.testing.assert_array_equal(got[cid], twin[cid])
+            np.testing.assert_allclose(got[cid], ref[cid],
+                                       rtol=0.08, atol=0.05)
+
+
+def test_fleet_mega_guards():
+    """path='mega' rejects unsupported shapes loudly."""
+    with pytest.raises(ValueError, match="capacity % 8"):
+        FleetEngine(CFG, capacity=4, path="mega")
+    from drone_oa_iree_vit_accelerator_tpu.core import ITA_BASE
+
+    with pytest.raises(ValueError, match="flagship"):
+        FleetEngine(ITA_BASE, capacity=8, path="mega")
