@@ -369,7 +369,12 @@ def main() -> None:
 
     fleet = {}
     for cap in (8, 16, 32):
-        fstep = make_fleet_step(CFG)
+        # Measured-best per-capacity routing (FleetEngine policy,
+        # docs/fleet_mega_report.json): row-major turbo wins at small
+        # capacity, transposed at >= 32.
+        rm = cap <= 16
+        fstep = make_fleet_step(CFG, "turbo_rm" if rm else "turbo")
+        ftail = tail if rm else tail_t
         fvel = jnp.full((cap,), 5.0)
         fposx = jnp.full((cap,), 3.0)
         fquat = jnp.tile(jnp.asarray([[1.0, 0, 0, 0]], jnp.float32), (cap, 1))
@@ -387,11 +392,11 @@ def main() -> None:
         def fleet_args():
             return (
                 [
-                    (params, int_params, tail, fimgs[i + 1], fvel, fposx,
+                    (params, int_params, ftail, fimgs[i + 1], fvel, fposx,
                      fquat, fact, M.zero_state(CFG, cap))
                     for i in range(ncalls)
                 ],
-                (params, int_params, tail, fimgs[0], fvel, fposx, fquat,
+                (params, int_params, ftail, fimgs[0], fvel, fposx, fquat,
                  fact, M.zero_state(CFG, cap)),
             )
 

@@ -395,6 +395,69 @@ def make_fleet_mega_step(cfg: ModelConfig, softmax_mode: str = "onepass"):
     return jax.jit(step, donate_argnums=(8,))
 
 
+def make_fleet_fused_step(cfg: ModelConfig, softmax_mode: str = "onepass"):
+    """Two-kernel fleet tick: tokenizer GEMMs -> transposed encoder
+    kernel -> batched-rows tail kernel (decoder+LSTM+head+postprocess,
+    per-row vel/pos_x). Same signature as make_fleet_step; the tail MUST
+    be e-major (make_tail e_major=True — FleetEngine path='fused' builds
+    it so).
+
+    Why: the turbo fleet tick at small capacity is op-launch-bound (the
+    XLA LSTM/head chain is ~15 tiny ops); the whole-model fleet
+    megakernel measured NEGATIVE (its per-frame fusion loop serializes —
+    docs/fleet_mega_report.json). This middle point keeps the fused
+    encoder + fuses the entire tail into ONE launch with K-row GEMMs."""
+    from ..models import layers as L
+    from ..ops.pallas.ita_kernel import ita_encoder_block_T
+    from ..ops.pallas.tail_kernel import tail_fused_rows
+
+    interp = jax.default_backend() != "tpu"
+    gd = jnp.bfloat16
+
+    def step(params, int_params, tail, frames_u8, vel, pos_x, quat,
+             active, state):
+        k = frames_u8.shape[0]
+        frames = frames_u8.astype(jnp.float32)[:, None, :, :] / 255.0
+        xT = L.tokenizer_tokens_factored_T(
+            frames, params["tokenizer"], cfg, dtype=gd
+        ).astype(gd)
+        for i in range(cfg.num_layers):
+            blk = params["blocks"][i]
+            xT = ita_encoder_block_T(
+                xT, int_params["attn"][i], int_params["ffn"][i],
+                blk["ln1"], blk["ln2"], seq=cfg.S, interpret=interp,
+                softmax_mode=softmax_mode, max_nb=8,
+                pre_ln=params["tokenizer"]["ln"] if i == 0 else None,
+                out_dtype=gd if i == cfg.num_layers - 1 else None,
+            )
+        flat = (
+            xT.reshape(cfg.E, k, cfg.S)
+            .transpose(1, 0, 2)
+            .reshape(k, cfg.E * cfg.S)
+        )
+        head = params["fc2"]
+        if cfg.spectral_norm_decoder and "u" in head:
+            head_w, _, _ = L.spectral_norm_weight(
+                head["w"], head["u"], head["v"], update=False
+            )
+        else:
+            head_w = head["w"]
+        extra = jnp.concatenate(
+            [vel[:, None] / 10.0, quat.astype(jnp.float32)], axis=1
+        )
+        cmds, h, c = tail_fused_rows(
+            flat, extra, vel, pos_x, tail.w, tail.b,
+            params["lstm"], head_w, head["b"], state.h, state.c,
+            interpret=interp,
+        )
+        m = active[None, :, None]
+        return cmds, M.LSTMState(
+            jnp.where(m, h, state.h), jnp.where(m, c, state.c)
+        )
+
+    return jax.jit(step, donate_argnums=(8,))
+
+
 def _make_turbo_step(cfg: ModelConfig, path: str, masked: bool, mesh=None,
                      softmax_mode: str = "onepass"):
     """Shared builder behind make_batched_serving_step (masked=False)
@@ -408,8 +471,14 @@ def _make_turbo_step(cfg: ModelConfig, path: str, masked: bool, mesh=None,
     # 'turbo' routes to the TRANSPOSED pipeline (encoder='pallas_T',
     # measured 916 -> 764 us/step at b1024 — docs/turbo_T_report.json);
     # build the tail with make_tail(..., e_major=True) to avoid the
-    # per-call row-permute fallback.
-    encoder = {"turbo": "pallas_T", "turbo_int8": "int8"}[path]
+    # per-call row-permute fallback. 'turbo_rm' keeps the row-major
+    # pipeline — measured faster at SMALL batch (fleet capacity <= 16:
+    # 25.4 vs 30.9 us at cap 8, docs/fleet_mega_report.json) where the
+    # T-pipeline's producer/tail layout shims cost more than the
+    # lane-occupancy win; pair it with a row-major tail.
+    encoder = {
+        "turbo": "pallas_T", "turbo_rm": "pallas", "turbo_int8": "int8",
+    }[path]
     # Interpret-mode keys off where the step will RUN: the mesh's device
     # platform when sharded (a CPU dry-run mesh can coexist with a TPU
     # default backend), else the default backend.
@@ -518,12 +587,40 @@ class FleetEngine:
         params, int_params = _resolve_params(
             cfg, params, int_params, checkpoint_dir
         )
-        # e-major tail: the 'turbo' route runs the transposed pipeline.
+        # Measured-best per-capacity routing (docs/fleet_mega_report.
+        # json): small fleets are launch-bound and the row-major
+        # pipeline wins (25.4 vs 30.9 us at capacity 8); at capacity
+        # >= 32 the transposed pipeline's lane-occupancy win takes over
+        # (44.0 vs 45.7 us).
+        if path in ("auto", "turbo") and cfg.H == 1 and capacity <= 16:
+            path = "turbo_rm"
+        # e-major tail: the 'turbo'/'fused' routes run the transposed
+        # pipeline.
         self.tail = make_tail(
             cfg, params,
-            e_major=(path in ("auto", "turbo") and cfg.H == 1),
+            e_major=(path in ("auto", "turbo", "fused") and cfg.H == 1),
         )
-        if path == "mega":
+        if path == "fused":
+            # Two-kernel tick: T-encoder kernel + batched-rows tail
+            # kernel (decoder/LSTM/head/postprocess in one launch).
+            if mesh is not None:
+                raise ValueError("path='fused' does not support mesh=")
+            if cfg.H != 1:
+                raise ValueError(
+                    "path='fused' needs the Pallas encoder (H == 1), "
+                    f"got {cfg.name}"
+                )
+            if cfg.S * cfg.E * cfg.decoder_out * 2 > 12 * 1024 * 1024:
+                raise ValueError(
+                    f"{cfg.name}: bf16 tail exceeds the tail kernel's "
+                    "VMEM budget; use path='turbo'"
+                )
+            self.params = M.freeze_for_inference(cfg, params)
+            self.int_params = int_params
+            self.step = make_fleet_fused_step(
+                cfg, softmax_mode=softmax_mode
+            )
+        elif path == "mega":
             # Whole-fleet megakernel: one launch + one weight stream per
             # tick (flagship config only; the kernel's conv-output planes
             # need capacity % 8 == 0; per-slot DP sharding unsupported —

@@ -248,14 +248,19 @@ def main() -> None:
                     "scripts/dagger_aggregate.py requires every seed's "
                     "held-out block and refuses seeds run with this flag)")
     ap.add_argument("--collect-from", default="best",
-                    choices=["best", "latest"],
+                    choices=["best", "latest", "mix"],
                     help="which policy visits the states each round: "
                     "'best' (default, the round-selection winner — the "
                     "production recipe) or 'latest' (the previous round's "
                     "trained policy regardless of val — classic DAgger "
                     "pi_k, Ross et al. 2011; r4 probe arm: for seeds "
                     "whose best stays round 0, 'best' re-collects the "
-                    "same visitation distribution every round)")
+                    "same visitation distribution every round) or 'mix' "
+                    "(half from latest + half from best — pi_k's fresh "
+                    "visitation with the best policy's corridor coverage "
+                    "as the stabilizer; r5 productionization of the r4 "
+                    "collect-from-latest probe, whose rounds oscillated "
+                    "when a bad round k-1 collected round k's data)")
     ap.add_argument("--min-collect-frames", type=int, default=0,
                     help="frame budget per DAgger round: keep collecting "
                     "(fresh world batches, bounded at 4 extras) until the "
@@ -378,15 +383,30 @@ def main() -> None:
         else:
             log(f"round {k}: collecting {args.dagger_trajs} on-policy trajs...")
             beta_k = args.beta0 * (0.5 ** (k - 1))
-            collector = (latest_params if args.collect_from == "latest"
-                         else best["params"])
-            new = DG.collect_policy_trajectories(
-                CFG, collector, args.dagger_trajs, wcfg=WCFG,
-                steps=steps, seed=world_seed0 + k,
-                expert_mix=beta_k,
-                max_drift_m=args.max_drift_m,
-                max_z_drift_m=args.max_z_drift_m,
-            )
+
+            def collect(pi, n, seed):
+                return DG.collect_policy_trajectories(
+                    CFG, pi, n, wcfg=WCFG, steps=steps, seed=seed,
+                    expert_mix=beta_k,
+                    max_drift_m=args.max_drift_m,
+                    max_z_drift_m=args.max_z_drift_m,
+                )
+
+            if args.collect_from == "mix":
+                # Half pi_k (fresh visitation), half best (corridor
+                # coverage) — two independent world batches so neither
+                # arm sees the other's worlds.
+                half = args.dagger_trajs // 2
+                new = (
+                    collect(latest_params, half, world_seed0 + k)
+                    + collect(best["params"], args.dagger_trajs - half,
+                              world_seed0 + k + 5_000_000)
+                )
+                collector = latest_params  # frame-budget top-ups: pi_k
+            else:
+                collector = (latest_params if args.collect_from == "latest"
+                             else best["params"])
+                new = collect(collector, args.dagger_trajs, world_seed0 + k)
             extra_batches = 0
             if args.min_collect_frames:
                 # Frame budget: drift truncation can shrink a bad seed's
@@ -395,13 +415,9 @@ def main() -> None:
                 while (sum(t.frames.shape[0] for t in new)
                        < args.min_collect_frames and extra_batches < 4):
                     extra_batches += 1
-                    new = new + DG.collect_policy_trajectories(
-                        CFG, collector, args.dagger_trajs, wcfg=WCFG,
-                        steps=steps,
-                        seed=world_seed0 + k + 10_000 * extra_batches,
-                        expert_mix=beta_k,
-                        max_drift_m=args.max_drift_m,
-                        max_z_drift_m=args.max_z_drift_m,
+                    new = new + collect(
+                        collector, args.dagger_trajs,
+                        world_seed0 + k + 10_000 * extra_batches,
                     )
             save_trajs(dk_path, new)
             col_meta = {"beta_mix": round(beta_k, 4),
@@ -415,6 +431,8 @@ def main() -> None:
                         "collect_from": args.collect_from,
                         "collected_by_round": (
                             k - 1 if args.collect_from == "latest"
+                            else {"latest": k - 1, "best": best["round"]}
+                            if args.collect_from == "mix"
                             else best["round"]
                         )}
             json.dump(col_meta, open(meta_path, "w"))

@@ -28,6 +28,7 @@ from drone_oa_iree_vit_accelerator_tpu.models import vit_lstm as M
 from drone_oa_iree_vit_accelerator_tpu import quant as QZ
 from drone_oa_iree_vit_accelerator_tpu.quant.batched import make_tail
 from drone_oa_iree_vit_accelerator_tpu.pipeline.serve import (
+    make_fleet_fused_step,
     make_fleet_mega_step,
     make_fleet_step,
     make_serving_step,
@@ -103,6 +104,47 @@ def main() -> None:
     report["parity"]["vs_b1_mega_max_err"] = max(errs)
     assert max(errs) < 1e-3, errs
 
+    # ---- fused-path parity ----
+    fused = make_fleet_fused_step(CFG)
+    cf, stf = fused(
+        fparams, int_params, tail_t, frames, vel, posx, quat, active,
+        M.zero_state(CFG, cap),
+    )
+    errf = float(np.abs(np.asarray(cf) - np.asarray(ct)).max())
+    print(f"[parity] fleet-fused vs turbo cmd max err {errf:.4e}", flush=True)
+    report["parity"]["fused_vs_turbo_cmd_max_err"] = errf
+    assert errf < 0.3, errf
+
+    # Row-major turbo variant (pre-r5 fleet deployment) for the A/B.
+    from drone_oa_iree_vit_accelerator_tpu.quant.batched import (
+        make_tail as _mt,
+        turbo_forward,
+    )
+    from drone_oa_iree_vit_accelerator_tpu.pipeline.serve import (
+        postprocess_velocity,
+    )
+
+    tail_rm = _mt(CFG, params_io.load_params(
+        str(ckpt / "model_float.npz"),
+        M.init_params(CFG, jax.random.PRNGKey(0)),
+    ))
+
+    def _turbo_rm_step(p, ip, tl, frames_u8, vel, posx, quat, active,
+                       state):
+        frames = frames_u8.astype(jnp.float32)[:, None, :, :] / 255.0
+        cmd, new_state = turbo_forward(
+            CFG, p, ip, tl, frames, vel[:, None], quat, state,
+            encoder="pallas",
+        )
+        out = jax.vmap(postprocess_velocity)(cmd, vel, posx)
+        m = active[None, :, None]
+        return out, M.LSTMState(
+            jnp.where(m, new_state.h, state.h),
+            jnp.where(m, new_state.c, state.c),
+        )
+
+    turbo_rm = jax.jit(_turbo_rm_step, donate_argnums=(8,))
+
     # ---- timing ----
     ncalls = 40
     for cap in (8, 16, 32):
@@ -111,6 +153,9 @@ def main() -> None:
         for name, step, p, ip, tl in (
             ("mega", make_fleet_mega_step(CFG), kp, None, None),
             ("turbo", make_fleet_step(CFG, "turbo"), fparams, int_params,
+             tail_t),
+            ("turbo_rm", turbo_rm, fparams, int_params, tail_rm),
+            ("fused", make_fleet_fused_step(CFG), fparams, int_params,
              tail_t),
         ):
             # The fleet step DONATES the state arg: every call needs its

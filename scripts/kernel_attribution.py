@@ -137,6 +137,134 @@ def _staged_core(x, stages, iscal_ref, fscal_ref,
     return K._layer_norm(h + ffn_f, ln2_g_ref[0], ln2_b_ref[0])
 
 
+def _staged_core_T(xT, stages, iscal_ref, fscal_ref,
+                   wq_ref, cq_ref, wk_ref, ck_ref, wv_ref, cv_ref,
+                   wo_ref, co_ref, w1_ref, c1_ref, w2_ref, c2_ref,
+                   ln1_g_ref, ln1_b_ref, ln2_g_ref, ln2_b_ref):
+    """encoder_core_batched_T truncated after `stages` stages (the r5
+    TRANSPOSED deployed kernel: channels on sublanes, biases prefolded
+    as (N, 1) cvecs). Every computed tensor folds into the (E, nb*S)
+    live output."""
+    K = IK
+    if stages == 0:
+        return xT
+    x_i8 = K._quantize(xT, fscal_ref[0, K._FS_ATTN_IN])
+    m_q, s_q = iscal_ref[0, K._IQ_MULT], iscal_ref[0, K._IQ_SHIFT]
+    m_k, s_k = iscal_ref[0, K._IK_MULT], iscal_ref[0, K._IK_SHIFT]
+    m_v, s_v = iscal_ref[0, K._IV_MULT], iscal_ref[0, K._IV_SHIFT]
+    qp8 = K._requant_folded_i8(K._dot_T(wq_ref[:], x_i8), cq_ref[:], m_q, s_q)
+    kp8 = K._requant_folded_i8(K._dot_T(wk_ref[:], x_i8), ck_ref[:], m_k, s_k)
+    vp8 = K._requant_folded_i8(K._dot_T(wv_ref[:], x_i8), cv_ref[:], m_v, s_v)
+    if stages == 1:
+        return (qp8[:E].astype(i32) + kp8[:E] + vp8[:E]).astype(f32)
+    logitsT = jnp.concatenate([
+        jax.lax.dot_general(
+            kp8[:, i * S:(i + 1) * S], qp8[:, i * S:(i + 1) * S],
+            (((0,), (0,)), ((), ())), preferred_element_type=i32)
+        for i in range(NB)], axis=1)
+    aT_i8 = K._requant(logitsT, iscal_ref[0, K._IQK_MULT],
+                       iscal_ref[0, K._IQK_SHIFT])
+    if stages == 2:
+        return (jnp.sum(aT_i8[:, :E], axis=0, keepdims=True).T
+                + vp8[:E].astype(i32)).astype(f32)
+    p8T = K._integer_softmax_T_p8(aT_i8)
+    if stages == 3:
+        return (jnp.sum(p8T[:, :E].astype(i32), axis=0, keepdims=True).T
+                + vp8[:E].astype(i32)).astype(f32)
+    m_av, s_av = iscal_ref[0, K._IAV_MULT], iscal_ref[0, K._IAV_SHIFT]
+    half_av = K._requant_half(s_av)
+    ctxT = jnp.concatenate([
+        K._requant_folded_i8(
+            jax.lax.dot_general(
+                vp8[:, i * S:(i + 1) * S], p8T[:, i * S:(i + 1) * S],
+                (((1,), (0,)), ((), ())), preferred_element_type=i32),
+            128 * jnp.sum(vp8[:, i * S:(i + 1) * S].astype(i32),
+                          axis=1, keepdims=True) * m_av + half_av,
+            m_av, s_av)
+        for i in range(NB)], axis=1)
+    if stages == 4:
+        return ctxT[:E].astype(f32)
+    m_o, s_o = iscal_ref[0, K._IO_MULT], iscal_ref[0, K._IO_SHIFT]
+    attn_outT = K._requant_folded(K._dot_T(wo_ref[:], ctxT), co_ref[:],
+                                  m_o, s_o)
+    attn_f = attn_outT.astype(f32) * fscal_ref[0, K._FS_ATTN_OUT]
+    h = K._layer_norm_T(xT + attn_f, ln1_g_ref[:], ln1_b_ref[:])
+    if stages == 5:
+        return h
+    m_1, s_1 = iscal_ref[0, K._IFC1_MULT], iscal_ref[0, K._IFC1_SHIFT]
+    m_2, s_2 = iscal_ref[0, K._IFC2_MULT], iscal_ref[0, K._IFC2_SHIFT]
+    h_i8 = K._quantize(h, fscal_ref[0, K._FS_FFN_IN])
+    ff1_relu = jnp.clip(
+        (K._dot_T(w1_ref[:], h_i8) * m_1 + c1_ref[:])
+        >> jnp.clip(s_1, 0, 31), 0, 127)
+    relu8 = K._requant_folded_i8(
+        ff1_relu, K._requant_half(iscal_ref[0, K._IRELU_SHIFT]),
+        iscal_ref[0, K._IRELU_MULT], iscal_ref[0, K._IRELU_SHIFT])
+    ff2 = K._requant_folded(K._dot_T(w2_ref[:], relu8), c2_ref[:], m_2, s_2)
+    ffn_f = ff2.astype(f32) * fscal_ref[0, K._FS_FFN_OUT]
+    return K._layer_norm_T(h + ffn_f, ln2_g_ref[:], ln2_b_ref[:])
+
+
+def _make_block_T(kernel_core, b, out_dtype=jnp.bfloat16):
+    """T-layout twin of _make_block: x arrives (E, B*S), pre-LN via
+    _layer_norm_T, biases prefolded host-side (ita_encoder_block_T's
+    operand prep)."""
+    attn, ffn, ln1, ln2, pre_ln = _PARAMS
+    iscal, fscal = IK.pack_block_scalars(attn, ffn)
+
+    def kernel_fn(iscal_ref, fscal_ref, x_ref, png_ref, pnb_ref, *w_refs):
+        out_ref = w_refs[-1]
+        w_refs = w_refs[:-1]
+        x = x_ref[...].astype(f32)
+        x = IK._layer_norm_T(x, png_ref[:], pnb_ref[:])
+        out = kernel_core(x, iscal_ref, fscal_ref, *w_refs)
+        out_ref[...] = out.astype(out_ref.dtype)
+
+    def smem(shape):
+        return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+    def vc(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    col = lambda n: vc((n, 1))
+    xblock = (E, NB * S)
+    call = pl.pallas_call(
+        kernel_fn,
+        grid=(b // NB,),
+        in_specs=[
+            smem((1, IK.N_ISCALARS)), smem((1, IK.N_FSCALARS)),
+            pl.BlockSpec(xblock, lambda i: (0, i), memory_space=pltpu.VMEM),
+            col(E), col(E),
+            vc((E, P)), col(P), vc((E, P)), col(P), vc((E, P)), col(P),
+            vc((P, E)), col(E), vc((E, F)), col(F), vc((F, E)), col(E),
+            col(E), col(E), col(E), col(E),
+        ],
+        out_specs=pl.BlockSpec(xblock, lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((E, b * S), out_dtype),
+    )
+    fold = IK._fold_bias_cvec
+    pn_g = jnp.asarray(pre_ln["g"], f32)[:, None]
+    pn_b = jnp.asarray(pre_ln["b"], f32)[:, None]
+    colf = lambda v: jnp.asarray(v, f32)[:, None]
+
+    @jax.jit
+    def run(xT):
+        return call(
+            iscal, fscal, xT, pn_g, pn_b,
+            attn.q.w, fold(attn.q.b, attn.q.mult, attn.q.shift),
+            attn.k.w, fold(attn.k.b, attn.k.mult, attn.k.shift),
+            attn.v.w, fold(attn.v.b, attn.v.mult, attn.v.shift),
+            attn.o.w, fold(attn.o.b, attn.o.mult, attn.o.shift),
+            ffn.fc1.w, fold(ffn.fc1.b, ffn.fc1.mult, ffn.fc1.shift),
+            ffn.fc2.w, fold(ffn.fc2.b, ffn.fc2.mult, ffn.fc2.shift),
+            colf(ln1["g"]), colf(ln1["b"]),
+            colf(ln2["g"]), colf(ln2["b"]))
+
+    return run
+
+
 def _softmax_bitcast(a_i32):
     """Bit-exact _integer_softmax variant: exp = 2^(8-d) built by float-
     bit construction ((135-d)<<23 bitcast to f32; i32 truncation floors
@@ -373,6 +501,22 @@ def main() -> None:
                           "delta_us": round(us - prev, 1)})
         prev = us
 
+    # The r5 deployed kernel: TRANSPOSED (channels-on-sublanes) layout.
+    xTs = [jnp.transpose(x, (2, 0, 1)).reshape(E, B * S) for x in xs]
+    jax.block_until_ready(xTs)
+    stages_T_us = []
+    prev = 0.0
+    for stg in range(7):
+        core = (
+            lambda x, isr, fsr, *w, _s=stg: _staged_core_T(
+                x, _s, isr, fsr, *w)
+        )
+        us = _time(_make_block_T(core, B), xTs)
+        stages_T_us.append({"stage": stage_names[stg],
+                            "cumulative_us": round(us, 1),
+                            "delta_us": round(us - prev, 1)})
+        prev = us
+
     # A/B: bit-exact softmax rewrite + fully-static scalars are NEUTRAL.
     def core_fast(x, isr, fsr, *w):
         saved = IK._integer_softmax
@@ -402,6 +546,7 @@ def main() -> None:
     report = {
         "config": f"flagship b{B} nb{NB} (S,E,P,F)=({S},{E},{P},{F})",
         "stage_attribution": stages_us,
+        "stage_attribution_T": stages_T_us,
         "softmax_ab": ab,
         "per_pass_floor": floor,
         "mega_b1_floor": mega,

@@ -334,3 +334,34 @@ def test_fleet_mega_guards():
 
     with pytest.raises(ValueError, match="flagship"):
         FleetEngine(ITA_BASE, capacity=8, path="mega")
+
+
+def test_fleet_fused_matches_turbo_fleet():
+    """path='fused' (T-encoder kernel + batched-rows tail kernel)
+    tracks the turbo fleet engine at glue tolerance and is
+    deterministic across twin engines."""
+    import jax
+    import jax.numpy as jnp
+    from drone_oa_iree_vit_accelerator_tpu.models import vit_lstm as M
+    from drone_oa_iree_vit_accelerator_tpu import quant as QZ
+
+    key = jax.random.PRNGKey(1)
+    params = M.init_params(CFG, key)
+    int_params, _ = QZ.calibrate_ptq(
+        CFG, params, jax.random.randint(key, (4, 1, 60, 90), 0, 256,
+                                        jnp.uint8)
+    )
+    mk = lambda path: FleetEngine(
+        CFG, params=params, int_params=int_params, capacity=8,
+        path=path, idle_reset_s=3600.0,
+    )
+    eng_f, eng_twin, eng_t = mk("fused"), mk("fused"), mk("turbo")
+    for t in range(2):
+        items = [("A", _frame(500 + t)), ("B", _frame(600 + t, pos_x=0.5))]
+        got = eng_f.process_batch(items)
+        twin = eng_twin.process_batch(items)
+        ref = eng_t.process_batch(items)
+        for cid in ("A", "B"):
+            np.testing.assert_array_equal(got[cid], twin[cid])
+            np.testing.assert_allclose(got[cid], ref[cid],
+                                       rtol=0.08, atol=0.05)
